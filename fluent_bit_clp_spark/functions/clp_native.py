@@ -1,0 +1,213 @@
+"""CLP-style encode/decode as *native* Spark SQL expressions.
+
+Re-expresses the reference's CLP IR event encoding (logtype template +
+dictionary variables + encoded numeric variables; see
+`/root/reference/internal/irzstd/writer.go:74-113` for where the reference
+calls into clp-ffi-go, and the CLP OSDI'21 paper for the public semantics)
+as pure Column expressions: regexp tokenization + higher-order array
+functions.  Everything here runs JVM-side inside whole-stage codegen — no
+Python in the hot path at all.  A semantically identical pandas-UDF
+implementation lives in `clp_pandas.py`; both are tested for equality.
+
+Encoding model (our own IR layout, lossless for the message payload —
+the invariant the reference's round-trip tests pin):
+
+- ``logtype``       : the message with every variable token replaced by
+                      the placeholder byte 0x11 (literal 0x10/0x11 bytes in
+                      the input are escaped with 0x10 first).
+- ``var_kinds``     : array<int>, one per variable in appearance order;
+                      0 = encoded int, 1 = encoded float, 2 = dictionary.
+- ``encoded_vars``  : array<bigint> aligned with ``var_kinds``; the packed
+                      value for kinds 0/1, null for dictionary variables.
+- ``dict_vars``     : array<string> aligned with ``var_kinds``; the raw
+                      token for kind 2, null otherwise.
+- ``dict_var_ids``  : array<bigint>, xxhash64 of each dict var (stable
+                      under parallelism and resume — SURVEY.md §7 risk 1).
+- ``logtype_id``    : xxhash64 of the logtype.
+
+A token is a *variable* iff it contains a digit (CLP's core heuristic).
+An int token is *encoded* iff it round-trips exactly through int64
+(no leading zeros, no "-0", ≤18 digits).  A float token is encoded iff
+``-?(0|[1-9]\\d*)\\.\\d+`` with ≤14 total digits — packed losslessly as
+(sign, ndigits, int-part-length, digit-value), mirroring the spirit of
+CLP's four-byte float encoding but widened to an int64 so decode is
+byte-exact.  Everything else (hex ids, paths, versions, "007") is a
+dictionary variable — the safe choice the round-trip test enforces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Placeholder / escape bytes (kept out of the variable-token char class).
+ESCAPE = "\x10"
+PLACEHOLDER = "\x11"
+
+# A variable token: a run of token chars containing at least one digit.
+# Plain syntax on purpose — identical semantics in Java regex (Spark),
+# RE2 (DuckDB oracle) and Python `re` (pandas-UDF twin).
+VAR_TOKEN_RE = r"[A-Za-z0-9_./+-]*[0-9][A-Za-z0-9_./+-]*"
+
+# Encodable-int token: exact int64 round-trip (no leading zeros, no -0).
+INT_RE = r"^(0|-?[1-9][0-9]{0,17})$"
+
+# Encodable-float token shape; the digit-count bound is checked separately.
+# `[.]` not `\.`: no backslashes anywhere so the pattern survives SQL string
+# escaping identically in Spark SQL, DuckDB (oracle) and Python `re`.
+FLOAT_RE = r"^-?(0|[1-9][0-9]*)[.][0-9]+$"
+FLOAT_MAX_DIGITS = 14
+
+KIND_INT = 0
+KIND_FLOAT = 1
+KIND_DICT = 2
+
+
+def _escape(col: str) -> str:
+    """SQL expr: escape literal 0x10/0x11 bytes as 0x10+'e' / 0x10+'p'.
+
+    After escaping, the escaped text contains *no* 0x11 byte at all, so the
+    placeholders inserted by encoding are unambiguous: decode can split the
+    logtype on bare 0x11 safely.  Every 0x10 in escaped text starts a
+    two-byte pair, so unescaping (pair at a time, 'p' first) is exact.
+    """
+    return (
+        f"regexp_replace(regexp_replace({col}, '\x10', '\x10e'), "
+        f"'\x11', '\x10p')"
+    )
+
+
+def _unescape(col: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({col}, '\x10p', '\x11'), "
+        f"'\x10e', '\x10')"
+    )
+
+
+def _float_pack_sql(v: str) -> str:
+    """Pack an encodable float token string into one BIGINT, losslessly.
+
+    layout: sign * 2^62 + ndigits * 2^56 + int_len * 2^52 + digit_value
+    where digit_value = all digits (point removed) as int64, ndigits ≤ 14,
+    int_len = number of digits before the point (≥1).
+    """
+    digits = f"replace(replace({v}, '-', ''), '.', '')"
+    int_len = f"(instr(replace({v}, '-', ''), '.') - 1)"
+    sign = f"(case when substring({v}, 1, 1) = '-' then 1L else 0L end)"
+    return (
+        f"({sign} * 4611686018427387904L"  # 2^62
+        f" + cast(length({digits}) as bigint) * 72057594037927936L"  # 2^56
+        f" + cast({int_len} as bigint) * 4503599627370496L"  # 2^52
+        f" + cast({digits} as bigint))"
+    )
+
+
+def _float_unpack_sql(p: str) -> str:
+    """Inverse of :func:`_float_pack_sql` — reconstructs the exact token text."""
+    sign = f"(case when {p} >= 4611686018427387904L then '-' else '' end)"
+    rem = f"({p} % 4611686018427387904L)"
+    nd = f"cast({rem} div 72057594037927936L as int)"
+    ilen = f"cast(({rem} % 72057594037927936L) div 4503599627370496L as int)"
+    dv = f"({p} % 4503599627370496L)"
+    padded = f"lpad(cast({dv} as string), {nd}, '0')"
+    return (
+        f"concat({sign}, substring({padded}, 1, {ilen}), '.', "
+        f"substring({padded}, {ilen} + 1))"
+    )
+
+
+def _is_encodable_float(v: str) -> str:
+    return (
+        f"({v} rlike '{FLOAT_RE}' and "
+        f"length(replace(replace({v}, '-', ''), '.', '')) <= {FLOAT_MAX_DIGITS})"
+    )
+
+
+def clp_encode_columns(text_col: str = "text") -> dict[str, Column]:
+    """Column expressions computing the full CLP encoding of ``text_col``.
+
+    Returns a dict of new columns; apply with ``df.withColumns(...)``.
+    Map-only: no shuffle, fully codegen'd — survives any scale the scan does.
+    """
+    esc = _escape(text_col)
+    vars_expr = f"regexp_extract_all({esc}, '{VAR_TOKEN_RE}', 0)"
+    logtype = f"regexp_replace({esc}, '{VAR_TOKEN_RE}', '{PLACEHOLDER}')"
+    kinds = (
+        f"transform({vars_expr}, v -> case "
+        f"when v rlike '{INT_RE}' then {KIND_INT} "
+        f"when {_is_encodable_float('v')} then {KIND_FLOAT} "
+        f"else {KIND_DICT} end)"
+    )
+    encoded = (
+        f"zip_with({vars_expr}, {kinds}, (v, k) -> case "
+        f"when k = {KIND_INT} then cast(v as bigint) "
+        f"when k = {KIND_FLOAT} then {_float_pack_sql('v')} "
+        f"else cast(null as bigint) end)"
+    )
+    dict_vars = (
+        f"zip_with({vars_expr}, {kinds}, (v, k) -> "
+        f"case when k = {KIND_DICT} then v end)"
+    )
+    dict_ids = (
+        f"transform({dict_vars}, v -> "
+        f"case when v is not null then xxhash64(v) end)"
+    )
+    return {
+        "logtype": F.expr(logtype),
+        "var_kinds": F.expr(kinds),
+        "encoded_vars": F.expr(encoded),
+        "dict_vars": F.expr(dict_vars),
+        "dict_var_ids": F.expr(dict_ids),
+        "logtype_id": F.expr(f"xxhash64({logtype})"),
+    }
+
+
+def clp_encode(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the CLP encoding columns to ``df`` (native, map-only)."""
+    return df.withColumns(clp_encode_columns(text_col))
+
+
+def clp_decode_column(
+    logtype: str = "logtype",
+    var_kinds: str = "var_kinds",
+    encoded_vars: str = "encoded_vars",
+    dict_vars: str = "dict_vars",
+) -> Column:
+    """Reassemble the original text from (logtype, kinds, encoded, dict) —
+    byte-exact inverse of :func:`clp_encode_columns`.  Native expression:
+    split the logtype on the placeholder, then fold variables back in.
+    """
+    pieces = f"split({logtype}, '{PLACEHOLDER}', -1)"
+    var_at = (
+        f"case element_at({var_kinds}, i + 1) "
+        f"when {KIND_INT} then cast(element_at({encoded_vars}, i + 1) as string) "
+        f"when {KIND_FLOAT} then {_float_unpack_sql(f'element_at({encoded_vars}, i + 1)')} "
+        f"else element_at({dict_vars}, i + 1) end"
+    )
+    joined = (
+        f"case when size({var_kinds}) = 0 then {logtype} "
+        f"else aggregate(sequence(0, size({var_kinds}) - 1), "
+        f"element_at({pieces}, 1), "
+        f"(acc, i) -> concat(acc, {var_at}, element_at({pieces}, i + 2))) end"
+    )
+    return F.expr(_unescape(f"({joined})"))
+
+
+def clp_decode(df: DataFrame, out_col: str = "decoded_text") -> DataFrame:
+    return df.withColumn(out_col, clp_decode_column())
+
+
+def logtype_dictionary(encoded: DataFrame) -> DataFrame:
+    """``logtype_dict(logtype_id, logtype)`` — distinct aggregation, never
+    driver-side.  Hash IDs are stable across partitions and resumed runs."""
+    return encoded.select("logtype_id", "logtype").distinct()
+
+
+def var_dictionary(encoded: DataFrame) -> DataFrame:
+    """``var_dict(var_id, var)`` from the exploded dictionary variables."""
+    return (
+        encoded.select(F.explode("dict_vars").alias("var"))
+        .where(F.col("var").isNotNull())
+        .distinct()
+        .select(F.xxhash64("var").alias("var_id"), "var")
+    )
