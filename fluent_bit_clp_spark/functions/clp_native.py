@@ -174,21 +174,26 @@ def clp_decode_column(
     dict_vars: str = "dict_vars",
 ) -> Column:
     """Reassemble the original text from (logtype, kinds, encoded, dict) —
-    byte-exact inverse of :func:`clp_encode_columns`.  Native expression:
-    split the logtype on the placeholder, then fold variables back in.
+    byte-exact inverse of :func:`clp_encode_columns`.
+
+    Linear-time native expression: split the logtype on the placeholder,
+    render each variable, interleave with ``zip_with`` and join once with
+    ``array_join`` (an ``aggregate``+``concat`` fold would be O(n²) in the
+    variable count — fatal on multi-MiB turns).
     """
     pieces = f"split({logtype}, '{PLACEHOLDER}', -1)"
-    var_at = (
-        f"case element_at({var_kinds}, i + 1) "
-        f"when {KIND_INT} then cast(element_at({encoded_vars}, i + 1) as string) "
-        f"when {KIND_FLOAT} then {_float_unpack_sql(f'element_at({encoded_vars}, i + 1)')} "
-        f"else element_at({dict_vars}, i + 1) end"
+    zipped = f"arrays_zip({var_kinds}, {encoded_vars}, {dict_vars})"
+    var_strs = (
+        f"transform({zipped}, x -> case x.{var_kinds} "
+        f"when {KIND_INT} then cast(x.{encoded_vars} as string) "
+        f"when {KIND_FLOAT} then {_float_unpack_sql(f'x.{encoded_vars}')} "
+        f"else x.{dict_vars} end)"
     )
     joined = (
-        f"case when size({var_kinds}) = 0 then {logtype} "
-        f"else aggregate(sequence(0, size({var_kinds}) - 1), "
-        f"element_at({pieces}, 1), "
-        f"(acc, i) -> concat(acc, {var_at}, element_at({pieces}, i + 2))) end"
+        f"case when size({var_kinds}) = 0 then {logtype} else concat("
+        f"array_join(zip_with(slice({pieces}, 1, size({var_kinds})), {var_strs}, "
+        f"(p, v) -> concat(p, v)), ''), "
+        f"element_at({pieces}, size({var_kinds}) + 1)) end"
     )
     return F.expr(_unescape(f"({joined})"))
 

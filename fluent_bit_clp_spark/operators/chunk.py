@@ -1,0 +1,118 @@
+"""Deterministic size-based chunk assignment (SURVEY.md §2.3 E3, §2.4 R2/R3).
+
+The reference buffers IR until 2 MiB bins ("trash compactor",
+`/root/reference/internal/irzstd/disk.go:16-17,41-53`) and uploads when the
+compressed stream reaches 16 MB (`/root/reference/internal/outctx/config.go:34,61`,
+`plugins/out_clp_s3/internal/flush/flush.go:189-212`), with a per-tag
+monotone chunk counter (`internal/outctx/manager.go:22-26,38-66`).
+
+Batch-engine equivalent: assign every row a deterministic ``chunk_id`` =
+``floor(byte_start / chunk_bytes)`` where ``byte_start`` is the row's
+cumulative byte offset within its sink under stable
+``(conv_id, turn_idx)`` order.  ``chunk_id`` doubles as the monotone
+per-sink upload index (R3), and the same mechanism at 2 MiB yields the IR
+bin id (E3).
+
+Scale design — the naive single window ``PARTITION BY sink`` funnels a
+whole sink through one task (fatal at 10^12 turns).  We therefore compute
+offsets hierarchically:
+
+1. rows → *turn blocks* ``(sink, conv_id, floor(turn_idx/block_turns))``,
+   aggregated bytes per block (``groupBy`` — map-side partial agg);
+2. one small window per sink over block summaries (10^5–10^8 summary rows,
+   tunable via ``block_turns``) → block start offsets;
+3. join offsets back (hash join on the block key) + a bounded window
+   *inside* each block (≤ ``block_turns`` rows per partition) → row offsets.
+
+Result is bit-identical to the single-window formulation (property-tested)
+while every stage stays bounded per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+IR_BIN_BYTES = 2 << 20  # internal/irzstd/disk.go:16-17
+CHUNK_BYTES = 16 << 20  # internal/outctx/config.go:34,61
+DEFAULT_BLOCK_TURNS = 8192
+
+
+def with_row_bytes(df: DataFrame, size_cols: tuple[str, ...] = ("text",)) -> DataFrame:
+    """Byte-size proxy per row: payload octet length (pre-compression, the
+    same accounting point as the reference's ``irTotalBytes``)."""
+    total = None
+    for c in size_cols:
+        term = F.coalesce(F.octet_length(F.col(c)), F.lit(0))
+        total = term if total is None else total + term
+    return df.withColumn("row_bytes", total.cast("bigint"))
+
+
+def assign_chunks(
+    df: DataFrame,
+    chunk_bytes: int = CHUNK_BYTES,
+    bin_bytes: int = IR_BIN_BYTES,
+    block_turns: int = DEFAULT_BLOCK_TURNS,
+    sink_col: str = "sink",
+) -> DataFrame:
+    """Scalable hierarchical chunk assignment (see module docstring).
+
+    Requires columns: ``sink_col, conv_id, turn_idx, row_bytes``.
+    Adds: ``byte_start, chunk_id, ir_bin_id``.
+    """
+    df = df.withColumn("_block", F.floor(F.col("turn_idx") / F.lit(block_turns)))
+    blocks = df.groupBy(sink_col, "conv_id", "_block").agg(
+        F.sum("row_bytes").alias("_block_bytes")
+    )
+    w_sink = (
+        Window.partitionBy(sink_col)
+        .orderBy("conv_id", "_block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = blocks.withColumn(
+        "_block_start", F.coalesce(F.sum("_block_bytes").over(w_sink), F.lit(0))
+    ).drop("_block_bytes")
+    out = df.join(blocks, [sink_col, "conv_id", "_block"])
+    w_block = (
+        Window.partitionBy(sink_col, "conv_id", "_block")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "byte_start",
+        F.col("_block_start") + F.coalesce(F.sum("row_bytes").over(w_block), F.lit(0)),
+    ).drop("_block", "_block_start")
+    return out.withColumn(
+        "chunk_id", F.floor(F.col("byte_start") / F.lit(chunk_bytes))
+    ).withColumn("ir_bin_id", F.floor(F.col("byte_start") / F.lit(bin_bytes)))
+
+
+def assign_chunks_single_window(
+    df: DataFrame,
+    chunk_bytes: int = CHUNK_BYTES,
+    bin_bytes: int = IR_BIN_BYTES,
+    sink_col: str = "sink",
+) -> DataFrame:
+    """Reference formulation — one window per sink.  Only for equivalence
+    tests and the DuckDB oracle; do NOT use at scale (single-task sink)."""
+    w = (
+        Window.partitionBy(sink_col)
+        .orderBy("conv_id", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn(
+        "byte_start", F.coalesce(F.sum("row_bytes").over(w), F.lit(0))
+    )
+    return out.withColumn(
+        "chunk_id", F.floor(F.col("byte_start") / F.lit(chunk_bytes))
+    ).withColumn("ir_bin_id", F.floor(F.col("byte_start") / F.lit(bin_bytes)))
+
+
+def chunk_stats(df: DataFrame, sink_col: str = "sink") -> DataFrame:
+    """Per-chunk row/byte stats (A2/A3 analogue: buffer + zstd size tracking,
+    `internal/irzstd/disk.go:148-157,302-317`)."""
+    return df.groupBy(sink_col, "chunk_id").agg(
+        F.count("*").alias("chunk_rows"),
+        F.sum("row_bytes").alias("chunk_bytes"),
+        F.min("byte_start").alias("chunk_start"),
+    )

@@ -1,0 +1,124 @@
+"""End-to-end parse → CLP-encode → enrich → route → chunk → write plan.
+
+The Spark-first re-expression of the reference's flush path
+(`/root/reference/plugins/out_clp_s3_v2/out_clp_s3_v2.go:159-185` traced in
+SURVEY.md §3.1): one declarative DataFrame plan — Catalyst prunes columns
+into the scan, the tiny lookups broadcast, the encode stage is pure
+whole-stage-codegen map work, and only the chunk-offset computation
+shuffles (hierarchically, bounded per task).
+
+Entry points:
+- :func:`encode_pipeline`   — the lazy DataFrame (for queries/benchmarks);
+- :func:`run_to_sinks`      — materialize per-sink outputs + lineage with
+                              checkpoint-resume (kill between sinks →
+                              re-run with same run_id → identical result).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.functions.clp_native import clp_encode
+from fluent_bit_clp_spark.operators.chunk import assign_chunks, with_row_bytes
+from fluent_bit_clp_spark.operators.enrich import enrich
+from fluent_bit_clp_spark.operators.route import with_sink
+from fluent_bit_clp_spark.plans import lineage
+
+OUTPUT_COLS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "tool",
+    "ts_ms",
+    "level_id",
+    "sink",
+    "chunk_id",
+    "ir_bin_id",
+    "byte_start",
+    "row_bytes",
+    "logtype_id",
+    "logtype",
+    "var_kinds",
+    "encoded_vars",
+    "dict_vars",
+    "dict_var_ids",
+]
+
+
+def parse_normalize(df: DataFrame) -> DataFrame:
+    """P1-P3: timestamp normalization to Unix millis + failure flagging.
+
+    The reference substitutes wall-clock ``time.Now()`` for unparseable
+    timestamps (`out_clp_s3_v2.go:291-294`); a deterministic batch job
+    must not — we keep null and count it in ``encode_failures``.
+    """
+    return df.withColumn("ts_ms", F.unix_millis(F.col("ts")))
+
+
+def encode_pipeline(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → encoded turns."""
+    out = parse_normalize(df)
+    out = clp_encode(out, "text")
+    out = enrich(out, spark)
+    out = with_sink(out)
+    out = with_row_bytes(out)
+    out = assign_chunks(out)
+    return out
+
+
+def run_to_sinks(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    run_id: str = "run-0",
+    fail_after_sinks: int | None = None,
+) -> dict:
+    """Materialize per-sink IR-stream tables + dictionaries + metrics.
+
+    Per-sink loop mirrors the reference's independent per-tag pipelines
+    (R1/K1); each sink commit is atomic (write dir, then manifest rename) so
+    a crash between sinks resumes exactly (T4).  ``fail_after_sinks`` is a
+    test hook for the kill-and-resume property.
+    """
+    encoded = encode_pipeline(df, spark).select(*OUTPUT_COLS, "text", "ts")
+    encoded.cache()
+    try:
+        sinks = sorted(
+            r["sink"] for r in encoded.select("sink").distinct().collect()
+        )
+        done = lineage.committed_sinks(out_dir, run_id)
+        written = 0
+        for sink in sinks:
+            if sink in done:
+                continue
+            part = encoded.where(F.col("sink") == sink).select(*OUTPUT_COLS)
+            path = os.path.join(out_dir, "sinks", sink)
+            part.write.mode("overwrite").parquet(path)
+            rows = spark.read.parquet(path).count()
+            lineage.commit_manifest(
+                out_dir, run_id, sink, {"rows": rows, "path": path}
+            )
+            written += 1
+            if fail_after_sinks is not None and written >= fail_after_sinks:
+                raise RuntimeError(f"injected failure after {written} sinks")
+        # Dictionaries + metrics (hash IDs: stable across partitions/resume).
+        encoded.select("logtype_id", "logtype").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "logtype_dict"))
+        (
+            encoded.select(F.explode("dict_vars").alias("var"))
+            .where(F.col("var").isNotNull())
+            .distinct()
+            .select(F.xxhash64("var").alias("var_id"), "var")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "var_dict"))
+        )
+        lineage.sink_metrics(encoded, run_id).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "sink_metrics")
+        )
+        return {"sinks": sinks, "resumed_skipped": sorted(done)}
+    finally:
+        encoded.unpersist()
