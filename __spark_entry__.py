@@ -1,38 +1,604 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2 operators (+ training-data extras) onto the
+driver-provided tables so each has a DuckDB-checkable oracle in
+``oracle_sql()``; the transcript-table pipeline itself (our own M0
+generator) is exercised by ``entry()`` and the rows-only ``pipeline_*``
+queries, plus `python -m pytest -x -q`.
+
+Portability rules used throughout (so Spark and DuckDB agree bit-for-bit):
+- regex patterns contain no backslashes (`[0-9]`, `[.]`) — identical in
+  Java regex and RE2;
+- the CLP placeholder byte 0x11 is written ``chr(17)`` in SQL;
+- floats surface only via ``printf``-style fixed formatting or ``round``;
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fluent_bit_clp_spark.datagen import transcripts
+from fluent_bit_clp_spark.functions.clp_native import (
+    FLOAT_MAX_DIGITS,
+    FLOAT_RE,
+    INT_RE,
+    VAR_TOKEN_RE,
+)
+from fluent_bit_clp_spark.functions.levels import DEFAULT_LEVEL, LOG_LEVEL_ALIASES
+from fluent_bit_clp_spark.functions import textstats as TS
+from fluent_bit_clp_spark.operators import dedup as D
+from fluent_bit_clp_spark.operators import similarity as SIM
+from fluent_bit_clp_spark.functions.clp_native import clp_decode_column
+from fluent_bit_clp_spark.plans.pipeline import encode_pipeline
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+PH = "\x11"
+CHUNK_TEST_BYTES = 65536  # small chunk target so sf0.01 produces many chunks
+
+# Route map for the events table (event_type → sink), the R1 analogue.
+EVENT_SINKS = {
+    "purchase": "billing",
+    "signup": "accounts",
+    "error": "ops",
+    "click": "web",
+    "view": "web",
+}
+
+_LINE_FMT = "user %d %s value %s props %s"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, "events"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, "documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, "embeddings"))
+
+
+def _line_col() -> F.Column:
+    """Synthesized log line over events (documents carry no digits, so the
+    tokenizer oracle runs on these)."""
+    return F.format_string(
+        _LINE_FMT,
+        F.col("user_id"),
+        F.col("event_type"),
+        F.format_string("%.2f", F.col("value")),
+        F.col("props"),
+    ).alias("line")
+
+
+_LINE_SQL = (
+    "printf('user %d %s value %s props %s', user_id, event_type, "
+    "printf('%.2f', value), props)"
+)
+
+_SINK_CASE_SQL = (
+    "case event_type "
+    + " ".join(f"when '{k}' then '{v}'" for k, v in EVENT_SINKS.items())
+    + " else 'other' end"
+)
+
+_LEVEL_CASE_SQL = (
+    "case event_type "
+    + " ".join(f"when '{a}' then {i}" for a, i in LOG_LEVEL_ALIASES.items())
+    + f" else {DEFAULT_LEVEL} end"
+)
+
+
+def _sink_col() -> F.Column:
+    c = F.when(F.lit(False), F.lit(""))
+    expr = None
+    for k, v in EVENT_SINKS.items():
+        cond = F.col("event_type") == k
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    return expr.otherwise(F.lit("other")).alias("sink")
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_s2_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: scan + projection + pushed-down filter."""
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.length("props").cast("bigint").alias("props_len"),
+        )
+    )
+
+
+def q_p1_ts_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: timestamp normalization to Unix millis."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.unix_millis(F.col("ts").cast("timestamp"))).alias("min_ms"),
+            F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("max_ms"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_p3_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: JSON record parse + field extraction."""
+    return (
+        _events(spark, sf_dir)
+        .withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_parsed"),
+        )
+    )
+
+
+def q_p4_single_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: single-key extraction with whole-record fallback
+    (flush.go:149-176 getMessage semantics)."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.coalesce(F.get_json_object("props", "$.msg"), F.col("props")).alias(
+            "message"
+        ),
+    )
+
+
+def q_p6_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: log-level alias lookup via broadcast join, default info."""
+    ev = _events(spark, sf_dir)
+    aliases = F.broadcast(
+        spark.createDataFrame(
+            [(a, i) for a, i in LOG_LEVEL_ALIASES.items()],
+            "alias string, lid int",
+        )
+    )
+    return (
+        ev.join(aliases, ev.event_type == aliases["alias"], "left")
+        .withColumn(
+            "level_id",
+            F.coalesce("lid", F.lit(DEFAULT_LEVEL)).cast("bigint"),
+        )
+        .groupBy("level_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_e1_logtype_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 tokenizer core: logtype template + variable count per record."""
+    ev = _events(spark, sf_dir).select("event_id", _line_col())
+    return ev.select(
+        "event_id",
+        F.regexp_replace("line", VAR_TOKEN_RE, PH).alias("logtype"),
+        F.size(F.expr(f"regexp_extract_all(line, '{VAR_TOKEN_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_vars"),
+    )
+
+
+def q_e1_logtype_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 logtype dictionary: distinct templates + frequencies."""
+    return (
+        q_e1_logtype_extract(spark, sf_dir)
+        .groupBy("logtype")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_e1_var_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 variable classification: encoded-int / encoded-float / dictionary."""
+    ev = _events(spark, sf_dir).select(_line_col())
+    toks = ev.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(line, '{VAR_TOKEN_RE}', 0)")
+        ).alias("tok")
+    )
+    kind = (
+        f"case when tok rlike '{INT_RE}' then 0 "
+        f"when tok rlike '{FLOAT_RE}' and "
+        f"length(replace(replace(tok, '-', ''), '.', '')) <= {FLOAT_MAX_DIGITS} then 1 "
+        f"else 2 end"
+    )
+    return (
+        toks.withColumn("var_kind", F.expr(kind).cast("bigint"))
+        .groupBy("var_kind")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_e3_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/R2/R3/A2: deterministic cumulative-size chunk assignment
+    (single-window formulation == the hierarchical one, see tests)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", F.length("props").cast("bigint").alias("nb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn("byte_start", F.coalesce(F.sum("nb").over(w), F.lit(0)))
+        .withColumn("chunk_id", F.floor(F.col("byte_start") / CHUNK_TEST_BYTES))
+        .groupBy("event_type", "chunk_id")
+        .agg(F.count("*").alias("chunk_rows"), F.sum("nb").alias("chunk_bytes"))
+    )
+
+
+def q_r1_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/A1: tag fan-out routing + per-sink routed-row counts."""
+    return (
+        _events(spark, sf_dir)
+        .select(_sink_col())
+        .groupBy("sink")
+        .agg(F.count("*").alias("routed_rows"))
+    )
+
+
+def q_k1_sink_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/R3: per-sink upload-object inventory (monotone chunk counter)."""
+    return (
+        q_e3_chunk_stats(spark, sf_dir)
+        .withColumn(
+            "sink",
+            F.when(F.col("event_type") == "purchase", "billing")
+            .when(F.col("event_type") == "signup", "accounts")
+            .when(F.col("event_type") == "error", "ops")
+            .otherwise("web"),
+        )
+        .groupBy("sink")
+        .agg(
+            F.countDistinct("event_type", "chunk_id").alias("n_chunks"),
+            F.sum("chunk_bytes").alias("sink_bytes"),
+        )
+    )
+
+
+def q_t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace tokens + BPE-ish subword estimate."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        TS.subword_estimate("text").alias("n_subwords"),
+    )
+
+
+def q_t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring (length band, punctuation, stopwords)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(TS.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(TS.punct_ratio("text"), 4).alias("punct_ratio"),
+        TS.quality_score("text").alias("quality"),
+    )
+
+
+def q_t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic counts (declared lang vs heuristic)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", TS.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (normalization-stable md5)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.fingerprint("text").alias("fp")
+    )
+
+
+def q_d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup stats: docs vs distinct texts vs distinct fingerprints."""
+    return _docs(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct(TS.fingerprint("text")).alias("n_distinct_fps"),
+    )
+
+
+def q_d_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-based so the oracle reproduces them)."""
+    words = F.expr(f"regexp_extract_all(lower(text), '{TS.WORD_RE}', 0)")
+    d = _docs(spark, sf_dir).select("doc_id", F.explode(words).alias("w"))
+    return d.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.lit("s0"), F.col("w")))).alias("mh0"),
+        F.min(F.md5(F.concat(F.lit("s1"), F.col("w")))).alias("mh1"),
+        F.min(F.md5(F.concat(F.lit("s2"), F.col("w")))).alias("mh2"),
+        F.min(F.md5(F.concat(F.lit("s3"), F.col("w")))).alias("mh3"),
+    )
+
+
+def q_d_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle cardinality per doc (n-gram Jaccard building block)."""
+    d = D.with_shingles(_docs(spark, sf_dir), "text", 3)
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct("shingles")).cast("bigint").alias("n_shingles"),
+    )
+
+
+def q_a_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 5 vectors (ANN baseline)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk(emb, queries, k=3).select(
+        "query_id", "rank", "neighbor_id", "cosine"
+    )
+
+
+# --- transcript-pipeline queries (our generated table; rows-only checks) ---
+
+
+def q_pipeline_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode byte-equality over the synthetic transcript table;
+    MUST return 0 rows (the reference's round-trip contract)."""
+    df = transcripts(spark, 2000)
+    enc = encode_pipeline(df, spark).withColumn("decoded_text", clp_decode_column())
+    return enc.where(
+        ~(
+            (F.col("text") == F.col("decoded_text"))
+            | (F.col("text").isNull() & F.col("decoded_text").isNull())
+        )
+    ).select("conv_id", "turn_idx", "text", "decoded_text")
+
+
+def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink routed-row counts over the transcript pipeline."""
+    df = transcripts(spark, 2000)
+    return (
+        encode_pipeline(df, spark)
+        .groupBy("sink")
+        .agg(F.count("*").alias("routed_rows"))
+    )
+
+
+def q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketches (xxhash64-based — no SQL oracle, rows-only)."""
+    return D.simhash(_docs(spark, sf_dir), "doc_id")
+
+
+def q_d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs + exact Jaccard verify."""
+    docs = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(docs, "doc_id")
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id")
+    return D.ngram_jaccard(docs, pairs, "doc_id").where(F.col("jaccard") >= 0.35)
+
+
+def q_a_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate ANN (scale path; rows-only check)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, queries, dim=64, k=3, n_planes=4)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→encode→enrich→route→chunk pipeline over the
+    deterministic transcript table, with sf0.001 documents unioned in as
+    extra single-key payloads; verifies round-trip internally."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("conv-doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    df = transcripts(spark, 1000).unionByName(docs)
+    enc = encode_pipeline(df, spark)
+    return enc.select(
+        "conv_id",
+        "turn_idx",
+        "sink",
+        "level_id",
+        "chunk_id",
+        "ir_bin_id",
+        "logtype_id",
+        "logtype",
+        "var_kinds",
+        "encoded_vars",
+        "dict_vars",
+        "ts_ms",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "s2_scan_project": q_s2_scan_project,
+        "p1_ts_millis": q_p1_ts_millis,
+        "p3_json_parse": q_p3_json_parse,
+        "p4_single_key": q_p4_single_key,
+        "p6_level_histogram": q_p6_level_histogram,
+        "e1_logtype_extract": q_e1_logtype_extract,
+        "e1_logtype_dict": q_e1_logtype_dict,
+        "e1_var_classes": q_e1_var_classes,
+        "e3_chunk_stats": q_e3_chunk_stats,
+        "r1_route_counts": q_r1_route_counts,
+        "k1_sink_chunks": q_k1_sink_chunks,
+        "t_token_counts": q_t_token_counts,
+        "t_quality": q_t_quality,
+        "t_lang_id": q_t_lang_id,
+        "t_fingerprint": q_t_fingerprint,
+        "d_exact_dedup": q_d_exact_dedup,
+        "d_minhash_sigs": q_d_minhash_sigs,
+        "d_shingles": q_d_shingles,
+        "a_ann_topk": q_a_ann_topk,
+        # rows-only (non-SQL-expressible: xxhash64 / our generated table)
+        "pipeline_roundtrip_violations": q_pipeline_roundtrip_violations,
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+        "d_simhash": q_d_simhash,
+        "d_lsh_pairs": q_d_lsh_pairs,
+        "a_lsh_topk": q_a_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    var_re = VAR_TOKEN_RE
+    float_guard = (
+        f"length(replace(replace(tok, '-', ''), '.', '')) <= {FLOAT_MAX_DIGITS}"
+    )
+    return {
+        "s2_scan_project": (
+            "select event_id, user_id, cast(length(props) as bigint) as props_len "
+            "from events where event_type = 'error'"
+        ),
+        "p1_ts_millis": (
+            "select event_type, min(epoch_ms(ts)) as min_ms, "
+            "max(epoch_ms(ts)) as max_ms, count(*) as n "
+            "from events group by event_type"
+        ),
+        "p3_json_parse": (
+            "select event_type, cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_k, "
+            "count(json_extract_string(props, '$.k')) as n_parsed "
+            "from events group by event_type"
+        ),
+        "p4_single_key": (
+            "select event_id, coalesce(json_extract_string(props, '$.msg'), props) "
+            "as message from events"
+        ),
+        "p6_level_histogram": (
+            f"select cast({_LEVEL_CASE_SQL} as bigint) as level_id, count(*) as n "
+            "from events group by 1"
+        ),
+        "e1_logtype_extract": (
+            f"select event_id, regexp_replace({_LINE_SQL}, '{var_re}', chr(17), 'g') "
+            f"as logtype, cast(len(regexp_extract_all({_LINE_SQL}, '{var_re}')) as bigint) "
+            "as n_vars from events"
+        ),
+        "e1_logtype_dict": (
+            f"select regexp_replace({_LINE_SQL}, '{var_re}', chr(17), 'g') as logtype, "
+            "count(*) as n from events group by 1"
+        ),
+        "e1_var_classes": (
+            f"with toks as (select unnest(regexp_extract_all({_LINE_SQL}, '{var_re}')) "
+            "as tok from events) "
+            f"select cast(case when regexp_matches(tok, '{INT_RE}') then 0 "
+            f"when regexp_matches(tok, '{FLOAT_RE}') and {float_guard} then 1 "
+            "else 2 end as bigint) as var_kind, count(*) as n from toks group by 1"
+        ),
+        "e3_chunk_stats": (
+            "with sized as (select event_id, event_type, "
+            "cast(length(props) as bigint) as nb from events), "
+            "cum as (select *, coalesce(sum(nb) over (partition by event_type "
+            "order by event_id rows between unbounded preceding and 1 preceding), 0) "
+            "as byte_start from sized) "
+            f"select event_type, cast(floor(byte_start / {CHUNK_TEST_BYTES}) as bigint) "
+            "as chunk_id, count(*) as chunk_rows, cast(sum(nb) as bigint) as chunk_bytes "
+            "from cum group by 1, 2"
+        ),
+        "r1_route_counts": (
+            f"select {_SINK_CASE_SQL} as sink, count(*) as routed_rows "
+            "from events group by 1"
+        ),
+        "k1_sink_chunks": (
+            "with sized as (select event_id, event_type, "
+            "cast(length(props) as bigint) as nb from events), "
+            "cum as (select *, coalesce(sum(nb) over (partition by event_type "
+            "order by event_id rows between unbounded preceding and 1 preceding), 0) "
+            "as byte_start from sized), "
+            f"chunks as (select event_type, floor(byte_start / {CHUNK_TEST_BYTES}) "
+            "as chunk_id, count(*) as chunk_rows, cast(sum(nb) as bigint) as chunk_bytes from cum "
+            "group by 1, 2) "
+            "select case event_type when 'purchase' then 'billing' "
+            "when 'signup' then 'accounts' when 'error' then 'ops' else 'web' end "
+            "as sink, cast(count(distinct (event_type, chunk_id)) as bigint) as n_chunks, "
+            "cast(sum(chunk_bytes) as bigint) as sink_bytes from chunks group by 1"
+        ),
+        "t_token_counts": (
+            "select doc_id, cast(len(regexp_extract_all(text, '[^ ]+')) as bigint) "
+            "as n_tokens, cast(ceil(length(text) / 4.0) as bigint) as n_subwords "
+            "from documents"
+        ),
+        "t_quality": (
+            "with w as (select doc_id, text, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') as words from documents), "
+            "m as (select doc_id, text, "
+            "case when len(words) = 0 then 0.0 else "
+            "cast(len(list_filter(words, x -> x in ('the','a','of','and','to','in','is'))) "
+            "as double) / len(words) end as stop_ratio_raw, "
+            "case when length(text) = 0 then 0.0 else "
+            "cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) "
+            "/ length(text) end as punct_ratio_raw from w) "
+            "select doc_id, round(stop_ratio_raw, 4) as stop_ratio, "
+            "round(punct_ratio_raw, 4) as punct_ratio, "
+            "round(0.5 * (case when length(text) between 50 and 20000 then 1.0 else 0.0 end) "
+            "+ 0.3 * (1 - least(punct_ratio_raw * 4, 1.0)) "
+            "+ 0.2 * least(stop_ratio_raw * 10, 1.0), 4) as quality from m"
+        ),
+        "t_lang_id": (
+            "with w as (select lang, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') as words from documents), "
+            "m as (select lang, case when len(words) = 0 then 0.0 else "
+            "cast(len(list_filter(words, x -> x in ('the','a','of','and','to','in','is'))) "
+            "as double) / len(words) end as sr from w) "
+            "select lang, case when sr > 0.03 then 'en' else 'unk' end as lang_pred, "
+            "count(*) as n from m group by 1, 2"
+        ),
+        "t_fingerprint": (
+            "select doc_id, md5(array_to_string("
+            "regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) as fp from documents"
+        ),
+        "d_exact_dedup": (
+            "select count(*) as n_docs, count(distinct text) as n_distinct_texts, "
+            "count(distinct md5(array_to_string("
+            "regexp_extract_all(lower(text), '[a-z0-9]+'), ' '))) as n_distinct_fps "
+            "from documents"
+        ),
+        "d_minhash_sigs": (
+            "with w as (select doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) as w from documents) "
+            "select doc_id, min(md5('s0' || w)) as mh0, min(md5('s1' || w)) as mh1, "
+            "min(md5('s2' || w)) as mh2, min(md5('s3' || w)) as mh3 "
+            "from w group by doc_id"
+        ),
+        "d_shingles": (
+            "with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') "
+            "as words from documents), "
+            "sh as (select doc_id, case when len(words) < 3 then "
+            "[array_to_string(words, ' ')] else "
+            "list_transform(range(1, len(words) - 1), "
+            "i -> array_to_string(words[i:i+2], ' ')) end as shingles from w) "
+            "select doc_id, cast(len(list_distinct(shingles)) as bigint) as n_shingles "
+            "from sh"
+        ),
+        "a_ann_topk": (
+            "with q as (select vec_id as query_id, embedding as q_vec from embeddings "
+            "where vec_id < 5), "
+            "scored as (select q.query_id, e.vec_id as neighbor_id, "
+            "list_cosine_similarity(cast(q.q_vec as double[]), cast(e.embedding as double[])) as cos "
+            "from embeddings e, q where e.vec_id != q.query_id), "
+            "ranked as (select query_id, neighbor_id, cos, "
+            "row_number() over (partition by query_id order by cos desc, neighbor_id) "
+            "as rank from scored) "
+            "select query_id, cast(rank as int) as rank, neighbor_id, "
+            "round(cos, 6) as cosine from ranked where rank <= 3"
+        ),
+    }

@@ -1,0 +1,75 @@
+"""Text-analysis functions for training-data pipelines (driver brief §extras).
+
+All native Column expressions (JVM, codegen) — language-ID heuristic,
+quality scoring, token counting, document fingerprinting.  Regex syntax is
+kept portable (no backslash classes) so the DuckDB oracle can run the same
+patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Portable token pattern: runs of non-space characters.
+TOKEN_RE = "[^ ]+"
+WORD_RE = "[a-z0-9]+"
+
+# Tiny per-language stopword fingerprints for the n-gram/stopword heuristic.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def token_count(text: str = "text") -> Column:
+    """Whitespace token count (BPE-ish subword counting is ~chars/4)."""
+    return F.size(F.expr(f"regexp_extract_all({text}, '{TOKEN_RE}', 0)")).cast("bigint")
+
+
+def subword_estimate(text: str = "text") -> Column:
+    """Cheap BPE-token estimate: ceil(chars / 4) — the standard heuristic."""
+    return F.ceil(F.length(F.col(text)) / F.lit(4)).cast("bigint")
+
+
+def stopword_ratio(text: str = "text") -> Column:
+    words = f"regexp_extract_all(lower({text}), '{WORD_RE}', 0)"
+    stops = ",".join(f"'{w}'" for w in STOPWORDS_EN)
+    hits = f"size(filter({words}, w -> w in ({stops})))"
+    return F.expr(
+        f"case when size({words}) = 0 then 0.0D "
+        f"else cast({hits} as double) / size({words}) end"
+    )
+
+
+def punct_ratio(text: str = "text") -> Column:
+    return F.expr(
+        f"case when length({text}) = 0 then 0.0D else "
+        f"cast(length(regexp_replace({text}, '[A-Za-z0-9 ]', '')) as double)"
+        f" / length({text}) end"
+    )
+
+
+def quality_score(text: str = "text") -> Column:
+    """Composite [0,1] quality: length band + low punct + stopword presence.
+
+    Deterministic arithmetic over counts — identical in the SQL oracle.
+    """
+    len_ok = F.expr(f"case when length({text}) between 50 and 20000 then 1.0D else 0.0D end")
+    return F.round(
+        0.5 * len_ok + 0.3 * (1 - F.least(punct_ratio(text) * 4, F.lit(1.0)))
+        + 0.2 * F.least(stopword_ratio(text) * 10, F.lit(1.0)),
+        4,
+    )
+
+
+def lang_id(text: str = "text") -> Column:
+    """Stopword-fingerprint language ID (en vs unknown) — the n-gram
+    heuristic at its cheapest; real corpora swap in per-language tables."""
+    return F.when(stopword_ratio(text) > 0.03, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text: str = "text") -> Column:
+    """Normalization-stable document fingerprint (md5 of normalized words;
+    md5 so the DuckDB oracle reproduces it byte-for-byte)."""
+    normalized = F.expr(
+        f"array_join(regexp_extract_all(lower({text}), '{WORD_RE}', 0), ' ')"
+    )
+    return F.md5(normalized)

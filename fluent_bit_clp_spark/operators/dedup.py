@@ -1,0 +1,179 @@
+"""Deduplication operators for training-data pipelines (driver brief §extras).
+
+Four families, each scale-first:
+
+- **exact**        — hash-groupBy on a content digest (md5 so the DuckDB
+                     oracle matches).  One shuffle on the digest; skew-free
+                     because digests are uniform.
+- **MinHash + LSH**— shingle → k minhashes → band signatures → bucket join.
+                     Candidate pairs only ever materialize per bucket, so
+                     the quadratic blowup is bounded by bucket size; at
+                     100 TB the band signature groupBy is a uniform-key
+                     shuffle (hash values), never a hot key.
+- **SimHash**      — 64-bit sketch via per-token xxhash64 bit-votes,
+                     computed with explode + groupBy-sum (no UDF); near-dups
+                     share simhash prefix buckets.
+- **n-gram Jaccard** — exact verification on LSH candidates (the standard
+                     verify step after banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.functions.textstats import WORD_RE
+
+DEFAULT_MINHASH_K = 8
+DEFAULT_BANDS = 4  # rows-per-band = K / BANDS
+
+
+def _words(text_col: str):
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles as an array column (native, no UDF)."""
+    words = _words(text_col)
+    shingles = F.expr(
+        f"case when size({_sql_words(text_col)}) < {n} "
+        f"then array(array_join({_sql_words(text_col)}, ' ')) "
+        f"else transform(sequence(1, size({_sql_words(text_col)}) - {n - 1}), "
+        f"i -> array_join(slice({_sql_words(text_col)}, i, {n}), ' ')) end"
+    )
+    return df.withColumn("_words", words).withColumn("shingles", shingles)
+
+
+def _sql_words(text_col: str) -> str:
+    return f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_dups, doc_ids)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per identical text (one shuffle)."""
+    w_min = (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = DEFAULT_MINHASH_K
+) -> DataFrame:
+    """k min-hashes over word 3-gram shingles, fully native:
+    explode → per-seed xxhash64 → groupBy-min (map-side partial agg)."""
+    sh = with_shingles(df, text_col).select(id_col, F.explode("shingles").alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"mh{seed}")
+        for seed in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = DEFAULT_MINHASH_K, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket are candidates.
+
+    Self-join happens per bucket only — the classic LSH bound on pair count.
+    """
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.xxhash64(*[F.col(c) for c in cols], F.lit(b)).alias(f"band{b}"))
+    banded = sigs.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(right, "bucket")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over n-gram shingle sets for candidate pairs
+    (verification step after LSH banding)."""
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col), F.array_distinct("shingles").alias("sh_set")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a.sh_set", "b.sh_set"))
+                / F.size(F.array_union("a.sh_set", "b.sh_set"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH buckets → Jaccard verify →
+    drop the higher-id member of every duplicate pair."""
+    sigs = minhash_signatures(df, id_col, text_col)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    dups = (
+        ngram_jaccard(df, pairs, id_col, text_col)
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc, natively: explode words → per-bit votes via
+    groupBy-sum over bit positions → reassemble.  No UDF, two shuffles of
+    (doc, bit) vote rows — at scale this is a uniform-key aggregation."""
+    words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+    hashed = words.select(id_col, F.xxhash64("w").alias("h"))
+    bit_votes = hashed.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bits - 1}), "
+                f"b -> case when (h div shiftleft(1L, b)) % 2 != 0 then 1 else -1 end)"
+            )
+        ).alias("bit", "vote"),
+    )
+    sums = bit_votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (driver brief §extras).
+
+- :func:`cosine_topk`      — brute-force exact top-k, all native expressions
+                             (``zip_with`` dot product + window rank).  The
+                             correctness baseline; O(Q·N) — fine when the
+                             query side broadcasts.
+- :func:`lsh_topk`         — random-hyperplane LSH-bucketed approximate
+                             variant: probes only same-bucket candidates,
+                             the 100 TB scale path (bucket join instead of
+                             cross join).
+- :func:`ivf_assignments`  — IVF-style coarse quantization: assign each
+                             vector to its nearest of C centroids (native),
+                             so ANN probes only matching cells.
+
+Everything stays in ``array<float>`` columns with JVM higher-order
+functions — no Python in the distance kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), 0.0D, (s, v) -> s + v)"
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (queries side must be small —
+    broadcast; the N side streams, no shuffle until the per-query rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
+        .crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(cosine_expr("q_vec", "v_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> str:
+    """Deterministic pseudo-random hyperplane from hashes (no RNG)."""
+    return (
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> cast(pmod(xxhash64(i, {seed}), 2000) - 1000 as double) / 1000.0D)"
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding", seed: int = 7
+) -> DataFrame:
+    """Random-hyperplane signature: bit b = sign(v · plane_b).  Native."""
+    bits = [
+        f"case when {_dot(vec_col, _hyperplane(dim, seed + b))} >= 0 "
+        f"then shiftleft(1L, {b}) else 0L end"
+        for b in range(n_planes)
+    ]
+    return df.withColumn("lsh_bucket", F.expr(" + ".join(bits)))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket.
+
+    The cross join of :func:`cosine_topk` becomes an equi-join on
+    ``lsh_bucket`` — each query touches ~N/2^planes candidates.
+    """
+    v = with_lsh_bucket(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")),
+        dim, n_planes, "v_vec",
+    )
+    q = F.broadcast(
+        with_lsh_bucket(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+            dim, n_planes, "q_vec",
+        )
+    )
+    scored = (
+        v.join(q, "lsh_bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(cosine_expr("q_vec", "v_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_assignments(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse cells).
+    Centroid side broadcasts; one pass, no shuffle."""
+    c = F.broadcast(
+        centroids.select(
+            F.col("centroid_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    scored = vectors.crossJoin(c).withColumn(
+        "dist2",
+        F.expr(
+            f"aggregate(zip_with({vec_col}, c_vec, (x, y) -> "
+            f"(cast(x as double) - y) * (cast(x as double) - y)), 0.0D, (s, v) -> s + v)"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist2"), F.col("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(id_col, "centroid_id", F.round("dist2", 6).alias("dist2"))
+    )
