@@ -93,12 +93,17 @@ def _encode_one(text: str | None):
     return "".join(out), kinds, encoded, dicts
 
 
-@pandas_udf(_ENCODE_SCHEMA)
-def clp_encode_udf(texts: pd.Series) -> pd.DataFrame:
+def _encode_batch(texts: pd.Series) -> pd.DataFrame:
     rows = [_encode_one(t) for t in texts]
     return pd.DataFrame(
         rows, columns=["logtype", "var_kinds", "encoded_vars", "dict_vars"]
     )
+
+
+def clp_encode_udf():
+    """Built lazily — @pandas_udf parses its DDL schema against the active
+    SparkSession, so module-import-time construction would fail."""
+    return pandas_udf(_encode_batch, _ENCODE_SCHEMA)
 
 
 def _decode_one(logtype, kinds, encoded, dicts) -> str | None:
@@ -121,8 +126,7 @@ def _decode_one(logtype, kinds, encoded, dicts) -> str | None:
     return joined.replace(ESCAPE + "p", PLACEHOLDER).replace(ESCAPE + "e", ESCAPE)
 
 
-@pandas_udf("string")
-def clp_decode_udf(
+def _decode_batch(
     logtype: pd.Series, kinds: pd.Series, encoded: pd.Series, dicts: pd.Series
 ) -> pd.Series:
     return pd.Series(
@@ -134,9 +138,13 @@ def clp_decode_udf(
     )
 
 
+def clp_decode_udf():
+    return pandas_udf(_decode_batch, "string")
+
+
 def clp_encode_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append encoding columns via the Arrow-batched pandas UDF path."""
-    out = df.withColumn("_enc", clp_encode_udf(F.col(text_col)))
+    out = df.withColumn("_enc", clp_encode_udf()(F.col(text_col)))
     out = out.select(
         "*",
         F.col("_enc.logtype").alias("logtype"),
@@ -156,7 +164,7 @@ def clp_encode_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
 def clp_decode_pandas(df: DataFrame, out_col: str = "decoded_text") -> DataFrame:
     return df.withColumn(
         out_col,
-        clp_decode_udf(
+        clp_decode_udf()(
             F.col("logtype"),
             F.col("var_kinds"),
             F.col("encoded_vars"),

@@ -1,0 +1,150 @@
+"""CLP tokenizer/encoder unit + round-trip property tests (SURVEY.md §5).
+
+Mirrors the correctness contract the reference pins to the clp-ffi-go
+round-trip tests: decode(encode(text)) must be byte-equal per turn.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.functions.clp_native import (
+    clp_decode,
+    clp_encode,
+    logtype_dictionary,
+    var_dictionary,
+)
+from fluent_bit_clp_spark.functions.clp_pandas import (
+    _decode_one,
+    _encode_one,
+    _pack_float,
+    _unpack_float,
+)
+
+
+def _roundtrip_spark(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = clp_decode(clp_encode(df)).select("text", "decoded_text").collect()
+    return [(r.text, r.decoded_text) for r in out]
+
+
+CASES = [
+    "Task 42 started by user deadbeef01 at attempt 3",
+    "Uploaded chunk 7 of 120 (45.83%) to /var/log/app-2.log",
+    "level=ERROR latency_ms=12.503 status=500",
+    '{"timestamp":"2026-01-01T00:00:00Z","level":"info","k":69}',
+    "plain static sentence with no variables",
+    "",
+    "007 -0 00.5 1.50 0.05 -12.345 99999999999999999999 1234567890123456789",
+    "weird \x10 escape \x11 bytes 5",
+    "0.000000000001 and 12345678901234.5 and 1.23456789012345",
+    "tab\tseparated 9 fields",
+    "-5",
+    "5.",  # trailing dot: "5" is the var token, "." is logtype
+    ".5",  # leading dot token ".5" has digit → var (dict: leading-dot float)
+]
+
+
+def test_roundtrip_fixed_cases(spark):
+    for text, decoded in _roundtrip_spark(spark, CASES):
+        assert decoded == text
+
+
+def test_null_text_roundtrip(spark):
+    df = spark.createDataFrame([(None,)], "text string")
+    row = clp_decode(clp_encode(df)).collect()[0]
+    assert row.decoded_text is None
+
+
+def test_int_classification(spark):
+    df = spark.createDataFrame([("42 -7 007 -0 99999999999999999999",)], "text string")
+    r = clp_encode(df).select("var_kinds", "encoded_vars", "dict_vars").collect()[0]
+    assert r.var_kinds == [0, 0, 2, 2, 2]
+    assert r.encoded_vars[:2] == [42, -7]
+    assert r.dict_vars[2:] == ["007", "-0", "99999999999999999999"]
+
+
+def test_float_classification_and_bounds(spark):
+    # ≤14 digits encoded; >14 digits or leading-zero int part → dictionary
+    df = spark.createDataFrame(
+        [("1.5 -0.001 12345678901234.5 00.5 123456789012345.6",)], "text string"
+    )
+    r = clp_encode(df).select("var_kinds").collect()[0]
+    assert r.var_kinds == [1, 1, 2, 2, 2]
+
+
+def test_logtype_dictionary_stable_ids(spark):
+    df = spark.createDataFrame(
+        [("Task 1 done",), ("Task 2 done",), ("other 3",)], "text string"
+    )
+    enc = clp_encode(df)
+    d = logtype_dictionary(enc).collect()
+    assert len(d) == 2  # two distinct templates
+    # hash ids deterministic across recomputation
+    d2 = logtype_dictionary(clp_encode(df)).collect()
+    assert sorted((r.logtype_id, r.logtype) for r in d) == sorted(
+        (r.logtype_id, r.logtype) for r in d2
+    )
+
+
+def test_var_dictionary(spark):
+    df = spark.createDataFrame([("id deadbeef99 and 42",)], "text string")
+    v = var_dictionary(clp_encode(df)).collect()
+    assert [r.var for r in v] == ["deadbeef99"]
+
+
+def test_float_pack_unpack_exact():
+    for tok in ["1.5", "0.05", "-12.345", "1.50", "12345678901234.5"[:16], "0.0"]:
+        assert _unpack_float(_pack_float(tok)) == tok
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+        max_size=200,
+    )
+)
+def test_roundtrip_property_pandas(text):
+    """Pure-python twin round-trips arbitrary text (incl. control bytes)."""
+    lt, k, e, d = _encode_one(text)
+    assert _decode_one(lt, k, e, d) == text
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(-(10**19), 10**19), min_size=1, max_size=8))
+def test_roundtrip_property_numbers(nums):
+    text = " ".join(str(n) for n in nums)
+    lt, k, e, d = _encode_one(text)
+    assert _decode_one(lt, k, e, d) == text
+
+
+def test_native_equals_pandas_udf(spark):
+    """The JVM-native and pandas-UDF implementations agree field-for-field."""
+    from fluent_bit_clp_spark.datagen import transcripts
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+
+    df = transcripts(spark, 500).select("conv_id", "turn_idx", "text")
+    a = (
+        clp_encode(df)
+        .select("conv_id", "turn_idx", "logtype", "var_kinds", "encoded_vars", "dict_vars")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        clp_encode_pandas(df)
+        .select("conv_id", "turn_idx", "logtype", "var_kinds", "encoded_vars", "dict_vars")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    def norm(x):
+        if x is None or isinstance(x, str):
+            return x
+        return [None if pd.isna(v) else int(v) if isinstance(v, float) else v for v in x]
+
+    for col in ["logtype", "var_kinds", "encoded_vars", "dict_vars"]:
+        assert [norm(x) for x in a[col]] == [norm(x) for x in b[col]], col

@@ -1,0 +1,130 @@
+"""Training-data-pipeline extras: dedup, similarity, text stats, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.functions import textstats as TS
+from fluent_bit_clp_spark.operators import dedup as D
+from fluent_bit_clp_spark.operators import multimodal as MM
+from fluent_bit_clp_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (3, "completely different content about spark pipelines and logs"),
+        (4, "short"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = D.exact_dedup_groups(docs, "doc_id").collect()
+    assert len(groups) == 1 and groups[0].doc_ids == [0, 1]
+    kept = D.exact_dedup(docs, "doc_id")
+    assert kept.count() == 5
+    assert kept.where(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = D.minhash_signatures(docs, "doc_id")
+    assert sigs.count() == 6  # empty doc gets the single fallback shingle ''
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got  # identical docs always collide
+    verified = D.ngram_jaccard(docs, pairs, "doc_id").collect()
+    j = {(r.id_a, r.id_b): r.jaccard for r in verified}
+    assert j[(0, 1)] == 1.0
+
+
+def test_minhash_dedup_end_to_end(docs):
+    kept = D.minhash_dedup(docs, "doc_id", threshold=0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 0 in ids and 1 not in ids
+    assert 3 in ids and 4 in ids
+
+
+def test_simhash_near_dups_close(docs):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs, "doc_id").collect()}
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert sh[0] == sh[1]
+    assert ham_near < ham_far
+
+
+def test_textstats(docs):
+    r = docs.select(
+        "doc_id",
+        TS.token_count("text").alias("tc"),
+        TS.lang_id("text").alias("lang"),
+        TS.quality_score("text").alias("q"),
+        TS.fingerprint("text").alias("fp"),
+    ).collect()
+    by_id = {x.doc_id: x for x in r}
+    assert by_id[0].tc == 9
+    assert by_id[0].lang == "en"
+    assert by_id[5].tc == 0
+    assert by_id[0].fp == by_id[1].fp
+    assert 0.0 <= by_id[3].q <= 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = i / 50 * math.pi
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1 * (i % 3), 0.5]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+
+
+def test_cosine_topk_exact(vectors):
+    out = SIM.cosine_topk(vectors, vectors.where(F.col("vec_id") == 0), k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert all(r.query_id == 0 for r in out)
+    assert out[0].neighbor_id == 1  # adjacent angle = most similar
+
+
+def test_lsh_topk_subset_of_candidates(vectors):
+    out = SIM.lsh_topk(
+        vectors, vectors.where(F.col("vec_id") == 0), dim=4, k=3, n_planes=2
+    ).collect()
+    assert len(out) >= 1
+    assert all(r.cosine <= 1.000001 for r in out)
+
+
+def test_ivf_assignment(vectors, spark):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.5]), (1, [-1.0, 0.0, 0.0, 0.5])],
+        "centroid_id int, embedding array<float>",
+    )
+    out = SIM.ivf_assignments(vectors, cents)
+    by_id = {r.vec_id: r.centroid_id for r in out.collect()}
+    assert by_id[0] == 0 and by_id[49] == 1
+    assert len(by_id) == 50
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (1, "image", bytearray(b"\x00" * 10 + b"\xff" * 10), ("image/png", 4, 4, None)),
+        (2, "audio", bytearray(b"abc"), ("audio/wav", None, None, 3000)),
+        (3, "video", None, ("video/mp4", 16, 16, 5000)),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in MM.extract_features(df).collect()}
+    assert feats[1].n_bytes == 20
+    assert abs(sum(feats[1].feature) - 1.0) < 1e-6
+    assert feats[1].feature[0] == 0.5 and feats[1].feature[7] == 0.5
+    assert feats[3].n_bytes == 0
+    frames = MM.sample_frames(df, every_ms=1000)
+    assert frames.count() == 5  # video of 5000ms → ts 0..4999 step 1000
+
+
+def test_multimodal_unknown_kind_raises():
+    with pytest.raises(NotImplementedError):
+        MM._decode_stub(b"x", "hologram")

@@ -1,0 +1,189 @@
+"""Pipeline-level tests: routing counts vs pandas oracle, level mapping,
+chunking invariants, ordering under salting, resume idempotence
+(SURVEY.md §5 list)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.datagen import transcripts
+from fluent_bit_clp_spark.functions.clp_native import clp_decode_column
+from fluent_bit_clp_spark.functions.levels import (
+    DEFAULT_LEVEL,
+    LOG_LEVEL_ALIASES,
+    with_level,
+)
+from fluent_bit_clp_spark.operators.chunk import (
+    assign_chunks,
+    assign_chunks_single_window,
+    with_row_bytes,
+)
+from fluent_bit_clp_spark.operators.route import salted_repartition
+from fluent_bit_clp_spark.plans.pipeline import encode_pipeline, run_to_sinks
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return transcripts(spark, 1000).cache()
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, tiny):
+    return encode_pipeline(tiny, spark).cache()
+
+
+def test_row_count_preserved(tiny, encoded):
+    assert encoded.count() == tiny.count()
+
+
+def test_roundtrip_through_full_pipeline(encoded):
+    bad = encoded.withColumn("dec", clp_decode_column()).where(
+        ~((F.col("dec") == F.col("text")) | (F.col("dec").isNull() & F.col("text").isNull()))
+    )
+    assert bad.count() == 0
+
+
+def test_routed_counts_match_pandas_oracle(tiny, encoded):
+    """Per-sink routed-row counts vs an independent pandas computation."""
+    pdf = tiny.select("role", "tool").toPandas()
+
+    def sink(row):
+        if row["role"] == "tool":
+            tag = {
+                "bash": "sh", "search": "web", "browser": "web",
+                "editor": "fs", "scheduler": "cron",
+            }.get(row["tool"], "unknown")
+            return f"tools.{tag}"
+        return {"user": "chat", "assistant": "chat", "system": "ops"}.get(
+            row["role"], "ops"
+        )
+
+    expected = pdf.apply(sink, axis=1).value_counts().to_dict()
+    got = {r["sink"]: r["count"] for r in encoded.groupBy("sink").count().collect()}
+    assert got == expected
+
+
+def test_level_mapping_aliases(spark):
+    """Replicates logLevelMap aliases + default-to-info
+    (out_clp_s3_v2.go:62-95, 353-375)."""
+    rows = [(f"level={a} x 1",) for a in LOG_LEVEL_ALIASES] + [
+        ("level=bogus y 2",),
+        ("no level token 3",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = {r.text: r.level_id for r in with_level(df, spark).collect()}
+    for a, expect in LOG_LEVEL_ALIASES.items():
+        assert got[f"level={a} x 1"] == expect, a
+    assert got["level=bogus y 2"] == DEFAULT_LEVEL
+    assert got["no level token 3"] == DEFAULT_LEVEL
+
+
+def test_level_case_variants_not_folded(spark):
+    """'WARNING' and 'warning' both map to warn via distinct alias rows —
+    but an unlisted case variant like 'Warning' defaults to info (the
+    reference map is alias-exact, not lowercased)."""
+    df = spark.createDataFrame([("level=Warning z 1",)], "text string")
+    assert with_level(df, spark).collect()[0].level_id == DEFAULT_LEVEL
+
+
+def test_ts_null_counts_as_encode_failure(spark, encoded):
+    """Reference substitutes wall clock for bad timestamps
+    (out_clp_s3_v2.go:291-294); we keep null + count it."""
+    n = encoded.where(F.col("ts").isNull()).count()
+    assert n >= 1  # the edge row
+    assert encoded.where(F.col("ts").isNull()).select("ts_ms").collect()[0].ts_ms is None
+
+
+def test_chunk_hierarchical_equals_single_window(spark, encoded):
+    """The scalable two-level chunk assignment is bit-identical to the
+    reference single-window formulation."""
+    base = encoded.select("sink", "conv_id", "turn_idx", "row_bytes")
+    a = (
+        assign_chunks(base, chunk_bytes=4096, bin_bytes=1024, block_turns=7)
+        .select("sink", "conv_id", "turn_idx", "byte_start", "chunk_id", "ir_bin_id")
+        .toPandas()
+        .sort_values(["sink", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        assign_chunks_single_window(base, chunk_bytes=4096, bin_bytes=1024)
+        .select("sink", "conv_id", "turn_idx", "byte_start", "chunk_id", "ir_bin_id")
+        .toPandas()
+        .sort_values(["sink", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_chunk_monotone_and_bounded(encoded):
+    """chunk_id monotone in (conv_id, turn_idx) per sink; every chunk's
+    start-offset span ≤ chunk_bytes (16 MB default)."""
+    from fluent_bit_clp_spark.operators.chunk import CHUNK_BYTES, chunk_stats
+
+    stats = chunk_stats(encoded).collect()
+    for r in stats:
+        assert r.chunk_start // CHUNK_BYTES == r.chunk_id
+
+
+def test_huge_turn_forces_bin_boundary(spark):
+    """The >2 MiB edge turn must advance the IR bin id for its successor."""
+    df = spark.createDataFrame(
+        [("c", 0, "user", "x" * (3 << 20), None), ("c", 1, "user", "y 1", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01")))
+    enc = encode_pipeline(df, spark)
+    rows = {r.turn_idx: r.ir_bin_id for r in enc.select("turn_idx", "ir_bin_id").collect()}
+    assert rows[0] == 0 and rows[1] >= 1
+
+
+def test_order_restored_under_salting(spark, tiny):
+    """(conv_id, turn_idx) ordering inside salted partitions (R4/M3)."""
+    salted = salted_repartition(with_row_bytes(tiny), 16, split_turns=64)
+
+    def check(it):
+        prev = None
+        for row in it:
+            key = (row.conv_id, row.turn_idx)
+            if prev is not None and prev[0] == key[0]:
+                assert prev[1] < key[1]
+            prev = key
+        return iter([])
+
+    salted.rdd.mapPartitions(lambda it: check(it)).count()
+
+
+def test_datagen_deterministic_across_parallelism(spark):
+    """Same table at 2 and 8 partitions (the N vs 4N invariance)."""
+    a = transcripts(spark, 500, partitions=2, with_edge_rows=False)
+    b = transcripts(spark, 500, partitions=8, with_edge_rows=False)
+    pa = a.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pb = b.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert pa.equals(pb)
+
+
+def test_resume_idempotent(spark, tmp_path, tiny):
+    """Kill after partial commit → resume → identical final contents (T4)."""
+    out1 = str(tmp_path / "full")
+    out2 = str(tmp_path / "resumed")
+    run_to_sinks(spark, tiny, out1, "run-a")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_to_sinks(spark, tiny, out2, "run-b", fail_after_sinks=2)
+    res = run_to_sinks(spark, tiny, out2, "run-b")
+    assert len(res["resumed_skipped"]) == 2
+    a = spark.read.parquet(os.path.join(out1, "sinks", "*")).drop("sink")
+    b = spark.read.parquet(os.path.join(out2, "sinks", "*")).drop("sink")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sink_metrics_shape(spark, tmp_path, tiny):
+    out = str(tmp_path / "m")
+    run_to_sinks(spark, tiny, out, "run-m")
+    m = spark.read.parquet(os.path.join(out, "sink_metrics"))
+    cols = set(m.columns)
+    assert {"run_id", "sink", "partition_id", "rows_parsed", "dict_hits",
+            "encode_failures", "bytes_ir"} <= cols
+    total = m.agg(F.sum("rows_parsed")).collect()[0][0]
+    assert total == tiny.count()
+    assert m.agg(F.sum("encode_failures")).collect()[0][0] >= 1
