@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Benchmark: headline = turns-encoded/sec through the full
+parse → CLP-encode → enrich → route → chunk → sink-write pipeline
+(BASELINE.json metric), plus per-query timings for the heavier
+driver-contract queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "turns": N, "turns_per_sec": T, "cpus": C}
+
+Scaling evidence (north_rule: efficiency ≥ 0.8 from N to 4N executors):
+  python bench.py --scaling
+runs the identical job at local[8] and local[32] in separate JVMs on the
+same materialized input and writes BENCH.md with both throughputs +
+efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline transcript-table size scales with the sf of the testdata dir.
+TURNS_PER_SF = 10_000_000  # sf0.1 → 1M turns
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
+    from pyspark.sql import functions as F
+
+    from fluent_bit_clp_spark.datagen import write_transcripts
+    from fluent_bit_clp_spark.plans.pipeline import encode_pipeline
+    from fluent_bit_clp_spark.session import get_spark
+
+    sf = _sf_of(sf_dir)
+    n_turns = max(50_000, int(TURNS_PER_SF * sf))
+    spark = get_spark(app_name=f"bench-{cpus}", cpus=cpus)
+
+    tmp = tempfile.mkdtemp(prefix="clpbench-")
+    try:
+        if input_path is None:
+            input_path = os.path.join(tmp, "transcripts")
+            write_transcripts(spark, input_path, n_turns)
+        out_path = os.path.join(tmp, "out")
+
+        # --- headline: full pipeline, scan → encode → route → chunk → write
+        # one untimed warmup pass first: JIT compilation of the generated
+        # code dominates cold single-shot runs (~3× the steady-state time)
+        df = spark.read.parquet(input_path)
+        enc = encode_pipeline(df, spark)
+        enc.write.mode("overwrite").format("noop").save()
+        t0 = time.monotonic()
+        enc.write.mode("overwrite").partitionBy("sink").parquet(out_path)
+        headline_sec = time.monotonic() - t0
+        n_rows = spark.read.parquet(out_path).count()
+
+        # --- per-query timings (heavier driver-contract queries)
+        import __spark_entry__ as E
+
+        qs = E.queries()
+        bench_queries = [
+            "e1_logtype_extract",
+            "e1_logtype_dict",
+            "e1_var_classes",
+            "e3_chunk_stats",
+            "p6_level_histogram",
+            "r1_route_counts",
+            "t_quality",
+            "d_minhash_sigs",
+            "d_shingles",
+            "a_ann_topk",
+            "d_lsh_pairs",
+        ]
+        qtimes: dict[str, float] = {}
+        for name in bench_queries:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            qtimes[name] = round(time.monotonic() - t0, 3)
+
+        return {
+            "metric": "turns-encoded/sec (parse→CLP-encode→route→chunk→write)",
+            "value": round(headline_sec, 3),
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": sf,
+            "turns": n_rows,
+            "turns_per_sec": round(n_rows / headline_sec, 1),
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> None:
+    """Same job, same input, two parallelism levels → BENCH.md."""
+    results = {}
+    for cpus in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+             "--sf-dir", sf_dir, "--headline-only"],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t_lo = results[lo]["turns_per_sec"]
+    t_hi = results[hi]["turns_per_sec"]
+    eff = (t_hi / t_lo) / (hi / lo)
+    md = f"""# BENCH — scaling evidence (north_rule criterion)
+
+Same job (full parse→CLP-encode→enrich→route→chunk→write pipeline), same
+materialized input ({results[lo]['turns']} turns, sf={results[lo]['sf']}),
+two parallelism levels in separate JVMs:
+
+| parallelism | wall sec | turns/sec |
+|---|---|---|
+| local[{lo}] (N) | {results[lo]['value']} | {t_lo} |
+| local[{hi}] (4N) | {results[hi]['value']} | {t_hi} |
+
+**Scaling efficiency (T_4N / T_N) / 4 = {eff:.3f}** (target ≥ 0.8).
+
+Notes: the pipeline is map-dominated (encode is whole-stage-codegen native
+expressions; lookups broadcast; the only shuffles are the hierarchical
+chunk-offset aggregation and the sink write), which is why it scales with
+cores; at cluster scale the same plan shards by input splits.
+"""
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "lo": results[lo], "hi": results[hi]}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        run_scaling(args.sf_dir)
+        return
+    if args.headline_only:
+        res = _headline_only(args.cpus, args.sf_dir)
+        print(json.dumps(res))
+        return
+    print(json.dumps(run_once(args.cpus, args.sf_dir)))
+
+
+def _headline_only(cpus: int, sf_dir: str) -> dict:
+    from fluent_bit_clp_spark.datagen import write_transcripts
+    from fluent_bit_clp_spark.plans.pipeline import encode_pipeline
+    from fluent_bit_clp_spark.session import get_spark
+
+    sf = _sf_of(sf_dir)
+    n_turns = max(50_000, int(TURNS_PER_SF * sf))
+    spark = get_spark(app_name=f"bench-{cpus}", cpus=cpus)
+    tmp = tempfile.mkdtemp(prefix="clpbench-")
+    try:
+        input_path = os.path.join(tmp, "transcripts")
+        write_transcripts(spark, input_path, n_turns)
+        out_path = os.path.join(tmp, "out")
+        df = spark.read.parquet(input_path)
+        enc = encode_pipeline(df, spark)
+        enc.write.mode("overwrite").format("noop").save()  # JIT warmup
+        t0 = time.monotonic()
+        enc.write.mode("overwrite").partitionBy("sink").parquet(out_path)
+        sec = time.monotonic() - t0
+        n_rows = spark.read.parquet(out_path).count()
+        return {
+            "metric": "turns-encoded/sec",
+            "value": round(sec, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": sf,
+            "turns": n_rows,
+            "turns_per_sec": round(n_rows / sec, 1),
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

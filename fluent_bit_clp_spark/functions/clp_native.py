@@ -123,48 +123,58 @@ def _is_encodable_float(v: str) -> str:
     )
 
 
-def clp_encode_columns(text_col: str = "text") -> dict[str, Column]:
-    """Column expressions computing the full CLP encoding of ``text_col``.
-
-    Returns a dict of new columns; apply with ``df.withColumns(...)``.
-    Map-only: no shuffle, fully codegen'd — survives any scale the scan does.
-    """
-    esc = _escape(text_col)
-    vars_expr = f"regexp_extract_all({esc}, '{VAR_TOKEN_RE}', 0)"
-    logtype = f"regexp_replace({esc}, '{VAR_TOKEN_RE}', '{PLACEHOLDER}')"
-    kinds = (
-        f"transform({vars_expr}, v -> case "
-        f"when v rlike '{INT_RE}' then {KIND_INT} "
-        f"when {_is_encodable_float('v')} then {KIND_FLOAT} "
-        f"else {KIND_DICT} end)"
-    )
-    encoded = (
-        f"zip_with({vars_expr}, {kinds}, (v, k) -> case "
-        f"when k = {KIND_INT} then cast(v as bigint) "
-        f"when k = {KIND_FLOAT} then {_float_pack_sql('v')} "
-        f"else cast(null as bigint) end)"
-    )
-    dict_vars = (
-        f"zip_with({vars_expr}, {kinds}, (v, k) -> "
-        f"case when k = {KIND_DICT} then v end)"
-    )
-    dict_ids = (
-        f"transform({dict_vars}, v -> "
-        f"case when v is not null then xxhash64(v) end)"
-    )
-    return {
-        "logtype": F.expr(logtype),
-        "var_kinds": F.expr(kinds),
-        "encoded_vars": F.expr(encoded),
-        "dict_vars": F.expr(dict_vars),
-        "dict_var_ids": F.expr(dict_ids),
-        "logtype_id": F.expr(f"xxhash64({logtype})"),
-    }
-
-
 def clp_encode(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append the CLP encoding columns to ``df`` (native, map-only)."""
-    return df.withColumns(clp_encode_columns(text_col))
+    """Append the CLP encoding columns to ``df`` (native, map-only).
+
+    Built as a *sequence* of projections referencing real intermediate
+    columns (``_esc``, ``_vars``) rather than one dict of nested
+    expressions: higher-order functions are evaluated interpreted (outside
+    whole-stage codegen's subexpression elimination), so inlining would
+    re-run the regex tokenizer up to 8× per row.  Catalyst's
+    CollapseProject keeps non-cheap expressions single-use (SPARK-36718),
+    so each stage below is computed exactly once per row.
+    """
+    out = df.withColumn("_esc", F.expr(_escape(text_col)))
+    out = out.withColumn(
+        "_vars", F.expr(f"regexp_extract_all(_esc, '{VAR_TOKEN_RE}', 0)")
+    )
+    out = out.withColumn(
+        "logtype",
+        F.expr(f"regexp_replace(_esc, '{VAR_TOKEN_RE}', '{PLACEHOLDER}')"),
+    )
+    out = out.withColumn(
+        "var_kinds",
+        F.expr(
+            f"transform(_vars, v -> case "
+            f"when v rlike '{INT_RE}' then {KIND_INT} "
+            f"when {_is_encodable_float('v')} then {KIND_FLOAT} "
+            f"else {KIND_DICT} end)"
+        ),
+    )
+    out = out.withColumn(
+        "encoded_vars",
+        F.expr(
+            f"zip_with(_vars, var_kinds, (v, k) -> case "
+            f"when k = {KIND_INT} then cast(v as bigint) "
+            f"when k = {KIND_FLOAT} then {_float_pack_sql('v')} "
+            f"else cast(null as bigint) end)"
+        ),
+    )
+    out = out.withColumn(
+        "dict_vars",
+        F.expr(
+            f"zip_with(_vars, var_kinds, (v, k) -> "
+            f"case when k = {KIND_DICT} then v end)"
+        ),
+    )
+    out = out.withColumn(
+        "dict_var_ids",
+        F.expr(
+            "transform(dict_vars, v -> case when v is not null then xxhash64(v) end)"
+        ),
+    )
+    out = out.withColumn("logtype_id", F.expr("xxhash64(logtype)"))
+    return out.drop("_esc", "_vars")
 
 
 def clp_decode_column(

@@ -54,11 +54,18 @@ def assign_chunks(
     bin_bytes: int = IR_BIN_BYTES,
     block_turns: int = DEFAULT_BLOCK_TURNS,
     sink_col: str = "sink",
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Scalable hierarchical chunk assignment (see module docstring).
 
     Requires columns: ``sink_col, conv_id, turn_idx, row_bytes``.
     Adds: ``byte_start, chunk_id, ir_bin_id``.
+
+    ``broadcast_offsets=True`` broadcasts the block-offset summary (it is
+    input_rows / block_turns rows — tune ``block_turns`` so it stays a few
+    million at most), so the fact side is shuffled exactly **once** (for
+    the intra-block window), not twice (SMJ would add its own exchange).
+    Set False only if the summary outgrows the driver.
     """
     df = df.withColumn("_block", F.floor(F.col("turn_idx") / F.lit(block_turns)))
     blocks = df.groupBy(sink_col, "conv_id", "_block").agg(
@@ -72,6 +79,8 @@ def assign_chunks(
     blocks = blocks.withColumn(
         "_block_start", F.coalesce(F.sum("_block_bytes").over(w_sink), F.lit(0))
     ).drop("_block_bytes")
+    if broadcast_offsets:
+        blocks = F.broadcast(blocks)
     out = df.join(blocks, [sink_col, "conv_id", "_block"])
     w_block = (
         Window.partitionBy(sink_col, "conv_id", "_block")

@@ -33,19 +33,21 @@ def _words(text_col: str):
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Word n-gram shingles as an array column (native, no UDF)."""
-    words = _words(text_col)
-    shingles = F.expr(
-        f"case when size({_sql_words(text_col)}) < {n} "
-        f"then array(array_join({_sql_words(text_col)}, ' ')) "
-        f"else transform(sequence(1, size({_sql_words(text_col)}) - {n - 1}), "
-        f"i -> array_join(slice({_sql_words(text_col)}, i, {n}), ' ')) end"
+    """Word n-gram shingles as an array column (native, no UDF).
+
+    Built with ``element_at`` lookups per position — O(words) per doc.
+    (``slice``+``array_join`` per shingle would be O(words²): interpreted
+    higher-order functions re-copy the slice for every element.)
+    """
+    joined = " , ' ', ".join(f"element_at(_words, i + {j})" for j in range(n))
+    shingles = (
+        f"case when size(_words) < {n} then array(array_join(_words, ' ')) "
+        f"else transform(sequence(1, size(_words) - {n - 1}), "
+        f"i -> concat({joined})) end"
     )
-    return df.withColumn("_words", words).withColumn("shingles", shingles)
-
-
-def _sql_words(text_col: str) -> str:
-    return f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    return df.withColumn("_words", _words(text_col)).withColumn(
+        "shingles", F.expr(shingles)
+    )
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

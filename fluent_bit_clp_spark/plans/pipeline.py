@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fluent_bit_clp_spark.functions.clp_native import clp_encode
+from fluent_bit_clp_spark.functions.clp_adaptive import clp_encode_adaptive
 from fluent_bit_clp_spark.operators.chunk import assign_chunks, with_row_bytes
 from fluent_bit_clp_spark.operators.enrich import enrich
 from fluent_bit_clp_spark.operators.route import with_sink
@@ -59,13 +59,20 @@ def parse_normalize(df: DataFrame) -> DataFrame:
 
 
 def encode_pipeline(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """transcripts(conv_id, turn_idx, role, text, tool, ts) → encoded turns."""
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → encoded turns.
+
+    Stage order is scale-deliberate: enrich/route/chunk first (they shuffle
+    only the *raw* columns — the chunk-offset join and window never carry
+    encoded arrays), CLP-encode **last** (map-only, single evaluation,
+    fused into the final stage right before the sink write).  The byte
+    accounting uses ``octet_length(text)``, identical before/after encode.
+    """
     out = parse_normalize(df)
-    out = clp_encode(out, "text")
     out = enrich(out, spark)
     out = with_sink(out)
     out = with_row_bytes(out)
     out = assign_chunks(out)
+    out = clp_encode_adaptive(out, "text")
     return out
 
 
