@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fluent_bit_clp_spark.functions.clp_adaptive import clp_encode_adaptive
+from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
 from fluent_bit_clp_spark.operators.chunk import assign_chunks, with_row_bytes
 from fluent_bit_clp_spark.operators.enrich import enrich
 from fluent_bit_clp_spark.operators.route import with_sink
@@ -66,13 +66,21 @@ def encode_pipeline(df: DataFrame, spark: SparkSession) -> DataFrame:
     encoded arrays), CLP-encode **last** (map-only, single evaluation,
     fused into the final stage right before the sink write).  The byte
     accounting uses ``octet_length(text)``, identical before/after encode.
+
+    Encode uses the Arrow pandas-UDF implementation: measured 5.7× faster
+    than the semantically identical native-expression path (1.32M vs 230k
+    rows/s on 32 cores, 4M-row table) because Catalyst evaluates
+    higher-order-function lambdas interpreted, outside whole-stage codegen,
+    while the UDF is one Arrow batch transfer + CPython `re` per batch.
+    The native path remains the oracle-checkable reference implementation
+    (equality property-tested in tests/test_clp_core.py).
     """
     out = parse_normalize(df)
     out = enrich(out, spark)
     out = with_sink(out)
     out = with_row_bytes(out)
     out = assign_chunks(out)
-    out = clp_encode_adaptive(out, "text")
+    out = clp_encode_pandas(out, "text")
     return out
 
 
