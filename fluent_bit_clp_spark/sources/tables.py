@@ -1,0 +1,91 @@
+"""Source connectors + job config validation.
+
+- :func:`load_table` / :func:`load_transcripts` — Iceberg-first table scan
+  with plain-parquet fallback (no Iceberg runtime jar in this sandbox; the
+  layout and every downstream test are identical — SURVEY.md §7 stance).
+- :func:`read_jsonl_records` — the reference-shaped raw-record source
+  (FIXTURES.md §4): JSONL files with ``timestamp/level/message/service``
+  fields, the S1/S2 decoder-path analogue
+  (`/root/reference/internal/decoder/decoder.go:129-176`).
+- :class:`JobConfig` — P7 analogue of ``NewS3Config``
+  (`/root/reference/internal/outctx/config.go:47-149`): typed coercion +
+  rule validation with joined error messages, at submit time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, path_or_table: str, fmt: str = "auto") -> DataFrame:
+    """Iceberg catalog table if addressable, else parquet path."""
+    if fmt == "iceberg" or (fmt == "auto" and "." in path_or_table and "/" not in path_or_table):
+        return spark.read.format("iceberg").load(path_or_table)
+    return spark.read.parquet(path_or_table)
+
+
+def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    df = load_table(spark, path)
+    expected = {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    missing = expected - set(df.columns)
+    if missing:
+        raise ValueError(f"transcript table missing columns: {sorted(missing)}")
+    return df
+
+
+def read_jsonl_records(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-shaped JSONL source → (ts, record_json) rows.
+
+    Reads as text (not schema-inferred JSON) so malformed lines survive to
+    the PERMISSIVE parse stage and get counted, mirroring the decoder's
+    drop-and-log policy (decoder.go:147-163)."""
+    lines = spark.read.text(path).withColumnRenamed("value", "record_json")
+    parsed = lines.withColumn(
+        "ts",
+        F.to_timestamp(F.get_json_object("record_json", "$.timestamp")),
+    )
+    return parsed
+
+
+@dataclass
+class JobConfig:
+    """Validated job configuration (P7).  Field spellings follow the
+    reference's plugin options where they exist."""
+
+    input_path: str = ""
+    output_dir: str = ""
+    run_id: str = "run-0"
+    use_single_key: bool = True          # config.go:29,56
+    single_key: str = "log"              # config.go:30,57
+    allow_missing_key: bool = True       # config.go:31,58
+    upload_size_mb: int = 16             # config.go:34,61 (bounds 2..<1000)
+    timezone: str = "America/Toronto"    # config.go:35,62
+    ir_bin_bytes: int = 2 << 20          # irzstd/disk.go:16-17
+    block_turns: int = 8192
+    long_text_bytes: int = 16384
+    errors: list[str] = field(default_factory=list, repr=False)
+
+    def validate(self) -> "JobConfig":
+        errs = []
+        if not self.input_path:
+            errs.append("input_path: required")
+        if not self.output_dir:
+            errs.append("output_dir: required")
+        if not (2 <= self.upload_size_mb < 1000):
+            errs.append("upload_size_mb: must satisfy 2 <= x < 1000")
+        if self.ir_bin_bytes <= 0:
+            errs.append("ir_bin_bytes: must be positive")
+        if self.block_turns <= 0:
+            errs.append("block_turns: must be positive")
+        if self.use_single_key and not self.single_key:
+            errs.append("single_key: required when use_single_key")
+        if errs:
+            raise ValueError("; ".join(errs))  # joined errors, config.go:144-147
+        return self
+
+    @property
+    def chunk_bytes(self) -> int:
+        return self.upload_size_mb << 20
