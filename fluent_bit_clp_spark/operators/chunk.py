@@ -71,13 +71,8 @@ def assign_chunks(
     blocks = df.groupBy(sink_col, "conv_id", "_block").agg(
         F.sum("row_bytes").alias("_block_bytes")
     )
-    w_sink = (
-        Window.partitionBy(sink_col)
-        .orderBy("conv_id", "_block")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    blocks = blocks.withColumn(
-        "_block_start", F.coalesce(F.sum("_block_bytes").over(w_sink), F.lit(0))
+    blocks = _distributed_prefix_sum(
+        blocks, sink_col, ["conv_id", "_block"], "_block_bytes", "_block_start"
     ).drop("_block_bytes")
     if broadcast_offsets:
         blocks = F.broadcast(blocks)
@@ -94,6 +89,54 @@ def assign_chunks(
     return out.withColumn(
         "chunk_id", F.floor(F.col("byte_start") / F.lit(chunk_bytes))
     ).withColumn("ir_bin_id", F.floor(F.col("byte_start") / F.lit(bin_bytes)))
+
+
+def _distributed_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` per ``group_col`` under
+    ``order_cols`` order — with NO single-task-per-group window.
+
+    Classic distributed scan: range-partition by the global order, local
+    cumsums in parallel, then a tiny per-partition-totals roll-up (≤ a few
+    hundred rows) provides each partition's base offset.  The result is a
+    pure function of the data ordering — partition boundaries (which vary
+    with parallelism) cancel out, so output is identical at any cluster
+    size (asserted by test_chunk_hierarchical_equals_single_window).
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, group_col, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy(group_col, "_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranged = ranged.withColumn(
+        "_local_start", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    totals = ranged.groupBy(group_col, "_pid").agg(
+        F.sum(value_col).alias("_ptot")
+    )
+    w_tot = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_pstart", F.coalesce(F.sum("_ptot").over(w_tot), F.lit(0))
+    ).select(group_col, "_pid", "_pstart")
+    return (
+        ranged.join(F.broadcast(offsets), [group_col, "_pid"])
+        .withColumn(out_col, F.col("_local_start") + F.col("_pstart"))
+        .drop("_pid", "_local_start")
+    )
 
 
 def assign_chunks_single_window(
