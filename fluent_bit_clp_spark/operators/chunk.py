@@ -55,6 +55,7 @@ def assign_chunks(
     block_turns: int = DEFAULT_BLOCK_TURNS,
     sink_col: str = "sink",
     broadcast_offsets: bool = True,
+    distributed_scan: bool = False,
 ) -> DataFrame:
     """Scalable hierarchical chunk assignment (see module docstring).
 
@@ -71,9 +72,26 @@ def assign_chunks(
     blocks = df.groupBy(sink_col, "conv_id", "_block").agg(
         F.sum("row_bytes").alias("_block_bytes")
     )
-    blocks = _distributed_prefix_sum(
-        blocks, sink_col, ["conv_id", "_block"], "_block_bytes", "_block_start"
-    ).drop("_block_bytes")
+    if distributed_scan:
+        # Fully parallel prefix sum — use when the block summary itself is
+        # huge (≳10^8 blocks/sink, i.e. beyond what one window task should
+        # sort).  Costs one extra sampling pass (repartitionByRange).
+        blocks = _distributed_prefix_sum(
+            blocks, sink_col, ["conv_id", "_block"], "_block_bytes", "_block_start"
+        ).drop("_block_bytes")
+    else:
+        # Summary window: one task per sink over block *summaries* only
+        # (input_rows / block_turns rows — tune block_turns so this stays
+        # small); the fact table itself is never single-tasked.
+        w_sink = (
+            Window.partitionBy(sink_col)
+            .orderBy("conv_id", "_block")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        blocks = blocks.withColumn(
+            "_block_start",
+            F.coalesce(F.sum("_block_bytes").over(w_sink), F.lit(0)),
+        ).drop("_block_bytes")
     if broadcast_offsets:
         blocks = F.broadcast(blocks)
     out = df.join(blocks, [sink_col, "conv_id", "_block"])

@@ -187,3 +187,21 @@ def test_sink_metrics_shape(spark, tmp_path, tiny):
     total = m.agg(F.sum("rows_parsed")).collect()[0][0]
     assert total == tiny.count()
     assert m.agg(F.sum("encode_failures")).collect()[0][0] >= 1
+
+
+def test_chunk_distributed_scan_equivalence(spark, encoded):
+    """The fully-parallel prefix-sum variant is bit-identical to the
+    summary-window one (and thus to the single-window reference)."""
+    base = encoded.select("sink", "conv_id", "turn_idx", "row_bytes")
+    a = (
+        assign_chunks(base, chunk_bytes=4096, bin_bytes=1024, block_turns=7,
+                      distributed_scan=True)
+        .select("sink", "conv_id", "turn_idx", "byte_start")
+        .toPandas().sort_values(["sink", "conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        assign_chunks(base, chunk_bytes=4096, bin_bytes=1024, block_turns=7)
+        .select("sink", "conv_id", "turn_idx", "byte_start")
+        .toPandas().sort_values(["sink", "conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
