@@ -1,0 +1,71 @@
+"""CLP encoded-table search vs naive regex over raw text."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.datagen import transcripts
+from fluent_bit_clp_spark.functions.clp_native import clp_encode, logtype_dictionary
+from fluent_bit_clp_spark.operators.search import (
+    compile_relaxed_pattern,
+    search_encoded,
+)
+
+
+@pytest.fixture(scope="module")
+def encoded(spark):
+    df = transcripts(spark, 2000, with_edge_rows=False).select(
+        "conv_id", "turn_idx", "text"
+    )
+    return clp_encode(df).cache()
+
+
+def _naive(df, query):
+    pat = "^" + ".*".join(re.escape(p) for p in query.split("*")) + "$"
+    return df.where(F.col("text").rlike(pat))
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "Task * started by user * at attempt *",
+        "Retrying container-* after *s: connection reset by peer",
+        "connection established successfully",
+        "GET /api/v2/users/* took * ms",
+        "Uploaded chunk * of * to /var/log/app-2.log",
+    ],
+)
+def test_search_matches_naive_regex(spark, encoded, query):
+    got = search_encoded(encoded, query).select("conv_id", "turn_idx")
+    want = _naive(encoded, query).select("conv_id", "turn_idx")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    if "*" in query:
+        assert want.count() > 0  # query actually exercises data
+
+
+def test_search_with_dictionary_pruning(spark, encoded):
+    d = logtype_dictionary(encoded)
+    q = "Task * started by user * at attempt *"
+    got = search_encoded(encoded, q, dictionary=d)
+    want = _naive(encoded, q)
+    assert got.count() == want.count() > 0
+
+
+def test_search_concrete_variable_values(spark):
+    df = spark.createDataFrame(
+        [("a", 0, "job 42 done"), ("a", 1, "job 43 done"), ("a", 2, "job 42 failed")],
+        "conv_id string, turn_idx int, text string",
+    )
+    enc = clp_encode(df)
+    assert search_encoded(enc, "job 42 done").count() == 1
+    assert search_encoded(enc, "job * done").count() == 2
+    assert search_encoded(enc, "job 99 done").count() == 0
+
+
+def test_compile_relaxed_pattern_shapes():
+    pat = compile_relaxed_pattern("job 42 done")
+    assert "\x11" in pat and pat.startswith("^") and pat.endswith("$")
+    pat2 = compile_relaxed_pattern("container-* after")
+    assert "(?:" in pat2 and ".*" in pat2  # ambiguous fragment relaxed
