@@ -278,6 +278,29 @@ def q_k1_sink_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e1_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLP search on the ENCODED table (dictionary-pruned wildcard query,
+    decode-verify on candidates) vs the oracle's naive regex on raw text —
+    end-to-end proof the encoding is queryable without loss."""
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.search import search_encoded
+
+    ev = _events(spark, sf_dir).select("event_id", _line_col().alias("text"))
+    enc = clp_encode(ev, "text")
+    hits = search_encoded(enc, "user * error value *")
+    return hits.select("event_id")
+
+
+def q_e1_logtype_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense logtype IDs (compaction view): distinct templates ranked by
+    template text — the optional dense-ID dictionary of SURVEY.md §7."""
+    from pyspark.sql import Window
+
+    d = q_e1_logtype_extract(spark, sf_dir).select("logtype").distinct()
+    w = Window.orderBy("logtype")
+    return d.withColumn("dense_id", F.row_number().over(w).cast("bigint"))
+
+
 def q_t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace tokens + BPE-ish subword estimate."""
     return _docs(spark, sf_dir).select(
@@ -440,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_logtype_extract": q_e1_logtype_extract,
         "e1_logtype_dict": q_e1_logtype_dict,
         "e1_var_classes": q_e1_var_classes,
+        "e1_search": q_e1_search,
+        "e1_logtype_dense": q_e1_logtype_dense,
         "e3_chunk_stats": q_e3_chunk_stats,
         "r1_route_counts": q_r1_route_counts,
         "k1_sink_chunks": q_k1_sink_chunks,
@@ -503,6 +528,15 @@ def oracle_sql() -> dict[str, str]:
             f"select cast(case when regexp_matches(tok, '{INT_RE}') then 0 "
             f"when regexp_matches(tok, '{FLOAT_RE}') and {float_guard} then 1 "
             "else 2 end as bigint) as var_kind, count(*) as n from toks group by 1"
+        ),
+        "e1_search": (
+            f"select event_id from events where "
+            f"regexp_matches({_LINE_SQL}, '^user .* error value .*$')"
+        ),
+        "e1_logtype_dense": (
+            f"with d as (select distinct regexp_replace({_LINE_SQL}, '{VAR_TOKEN_RE}', "
+            "chr(17), 'g') as logtype from events) "
+            "select logtype, row_number() over (order by logtype) as dense_id from d"
         ),
         "e3_chunk_stats": (
             "with sized as (select event_id, event_type, "
