@@ -32,21 +32,41 @@ def _words(text_col: str):
     return F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
 
 
-def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Word n-gram shingles as an array column (native, no UDF).
+def _shingle_udf(n: int):
+    """Arrow pandas UDF shingler — same reason as the CLP encoder: Catalyst
+    higher-order functions run interpreted (~10 µs/element), while CPython
+    builds the same shingles at ~1 µs; semantics identical (same WORD_RE,
+    asserted by the DuckDB oracle on query d_shingles)."""
+    import re
 
-    Built with ``element_at`` lookups per position — O(words) per doc.
-    (``slice``+``array_join`` per shingle would be O(words²): interpreted
-    higher-order functions re-copy the slice for every element.)
-    """
-    joined = " , ' ', ".join(f"element_at(_words, i + {j})" for j in range(n))
-    shingles = (
-        f"case when size(_words) < {n} then array(array_join(_words, ' ')) "
-        f"else transform(sequence(1, size(_words) - {n - 1}), "
-        f"i -> concat({joined})) end"
-    )
+    word_re = re.compile(WORD_RE)
+
+    def run(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            words = word_re.findall(t.lower())
+            if len(words) < n:
+                out.append([" ".join(words)])
+            else:
+                out.append(
+                    [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+                )
+        return pd.Series(out, dtype="object")
+
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(run, "array<string>")
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles as an array column (Arrow-batched)."""
     return df.withColumn("_words", _words(text_col)).withColumn(
-        "shingles", F.expr(shingles)
+        "shingles", _shingle_udf(n)(F.col(text_col))
     )
 
 
@@ -83,11 +103,22 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, k: int = DEFAULT_MINHASH_K, bands: int = DEFAULT_BANDS
+    sigs: DataFrame,
+    id_col: str,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Band the signatures; docs sharing any band bucket are candidates.
 
-    Self-join happens per bucket only — the classic LSH bound on pair count.
+    Self-join happens per bucket only — the classic LSH bound on pair
+    count.  ``max_bucket_size`` drops oversized buckets before the join:
+    a bucket with thousands of members is non-discriminative (its pairs
+    are overwhelmingly false positives) and would reintroduce the
+    quadratic blowup LSH exists to avoid; identical docs always share
+    *every* band, so true duplicates still surface through their other,
+    smaller buckets or the exact-dedup pass.  This cap is what keeps the
+    operator viable at 10^9-doc scale.
     """
     rows_per_band = k // bands
     band_cols = []
@@ -99,6 +130,10 @@ def lsh_candidate_pairs(
         id_col,
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
     )
+    small = stacked.groupBy("bucket").agg(F.count("*").alias("_n")).where(
+        F.col("_n") <= max_bucket_size
+    )
+    stacked = stacked.join(small.select("bucket"), "bucket")
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
