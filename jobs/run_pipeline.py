@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the transcript encode pipeline.
+
+Cluster usage (the north_star deployment shape):
+
+    zip -r fluent_bit_clp_spark.zip fluent_bit_clp_spark
+    spark-submit --py-files fluent_bit_clp_spark.zip jobs/run_pipeline.py \
+        --input <iceberg-table-or-parquet-path> \
+        --output <sink-root> --run-id run-2026-08-16
+
+Local smoke:
+
+    spark-submit --master 'local[8]' --py-files fluent_bit_clp_spark.zip \
+        jobs/run_pipeline.py --input /tmp/transcripts --output /tmp/out
+
+Re-running with the same --run-id resumes: committed sinks are skipped
+(per-sink atomic manifests, plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--upload-size-mb", type=int, default=16)
+    ap.add_argument("--block-turns", type=int, default=8192)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from fluent_bit_clp_spark.plans.pipeline import run_to_sinks
+    from fluent_bit_clp_spark.sources.tables import JobConfig, load_transcripts
+
+    cfg = JobConfig(
+        input_path=args.input,
+        output_dir=args.output,
+        run_id=args.run_id,
+        upload_size_mb=args.upload_size_mb,
+        block_turns=args.block_turns,
+    ).validate()
+
+    spark = SparkSession.builder.appName("clp-transcript-pipeline").getOrCreate()
+    df = load_transcripts(spark, cfg.input_path)
+    result = run_to_sinks(spark, df, cfg.output_dir, cfg.run_id)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
