@@ -98,7 +98,20 @@ def run_to_sinks(
     a crash between sinks resumes exactly (T4).  ``fail_after_sinks`` is a
     test hook for the kill-and-resume property.
     """
+    from pyspark.sql import Observation
+
+    # A1 analogue (`internal/irzstd/writer.go:74-87` numEvents/numBytes):
+    # observe() rides the first action — no extra pass over the data.
+    obs = Observation("ingest")
     encoded = encode_pipeline(df, spark).select(*OUTPUT_COLS, "text", "ts")
+    encoded = encoded.observe(
+        obs,
+        F.count(F.lit(1)).alias("num_events"),
+        F.sum(F.coalesce(F.octet_length("text"), F.lit(0))).alias("num_bytes"),
+        F.sum((F.col("text").isNull() | F.col("ts").isNull()).cast("long")).alias(
+            "encode_failures"
+        ),
+    )
     encoded.cache()
     try:
         sinks = sorted(
@@ -134,6 +147,10 @@ def run_to_sinks(
         lineage.sink_metrics(encoded, run_id).write.mode("overwrite").parquet(
             os.path.join(out_dir, "sink_metrics")
         )
-        return {"sinks": sinks, "resumed_skipped": sorted(done)}
+        return {
+            "sinks": sinks,
+            "resumed_skipped": sorted(done),
+            "ingest": obs.get,
+        }
     finally:
         encoded.unpersist()

@@ -205,3 +205,15 @@ def test_chunk_distributed_scan_equivalence(spark, encoded):
         .toPandas().sort_values(["sink", "conv_id", "turn_idx"]).reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_observe_ingest_counters(spark, tmp_path, tiny):
+    """A1 analogue: observe() counters match independent aggregates."""
+    res = run_to_sinks(spark, tiny, str(tmp_path / "obs"), "run-obs")
+    ing = res["ingest"]
+    assert ing["num_events"] == tiny.count()
+    want_bytes = tiny.agg(
+        F.sum(F.coalesce(F.octet_length("text"), F.lit(0)))
+    ).collect()[0][0]
+    assert ing["num_bytes"] == want_bytes
+    assert ing["encode_failures"] >= 1
