@@ -148,3 +148,18 @@ def test_native_equals_pandas_udf(spark):
 
     for col in ["logtype", "var_kinds", "encoded_vars", "dict_vars"]:
         assert [norm(x) for x in a[col]] == [norm(x) for x in b[col]], col
+
+
+def test_python_xxh64_matches_spark(spark):
+    """Pure-Python XXH64 (used for in-UDF id hashing) is bit-exact with
+    Spark's xxhash64(string) on varied inputs."""
+    from fluent_bit_clp_spark.functions.clp_pandas import _xxh64_str
+
+    samples = [
+        "", "a", "abc", "deadbeef01", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+        "m" * 33, "long " * 50, "üñïçôdé-Ωmega-測試", "tab\tnl\n", "0" * 100,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r.s: r.h for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in samples:
+        assert _xxh64_str(s) == got[s], repr(s)
