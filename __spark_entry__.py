@@ -166,6 +166,28 @@ def q_p4_single_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p5_kv_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 buildLogEvent: auto/user KV namespace split over JSON records
+    (file_path user→auto with '' default, ts→auto millis, rest user KV)."""
+    from fluent_bit_clp_spark.operators.parse import (
+        parse_json_records,
+        split_kv_namespaces,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("props").alias("record_json"),
+    )
+    out = split_kv_namespaces(parse_json_records(ev))
+    return out.select(
+        "event_id",
+        F.col("auto_kv.timestamp").alias("auto_ts_ms"),
+        F.col("auto_kv.file_path").alias("auto_file_path"),
+        F.size(F.map_keys("user_kv")).cast("bigint").alias("n_user_keys"),
+    )
+
+
 def q_p6_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: log-level alias lookup via broadcast join, default info."""
     ev = _events(spark, sf_dir)
@@ -459,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_ts_millis": q_p1_ts_millis,
         "p3_json_parse": q_p3_json_parse,
         "p4_single_key": q_p4_single_key,
+        "p5_kv_split": q_p5_kv_split,
         "p6_level_histogram": q_p6_level_histogram,
         "e1_logtype_extract": q_e1_logtype_extract,
         "e1_logtype_dict": q_e1_logtype_dict,
@@ -508,6 +531,13 @@ def oracle_sql() -> dict[str, str]:
         "p4_single_key": (
             "select event_id, coalesce(json_extract_string(props, '$.msg'), props) "
             "as message from events"
+        ),
+        "p5_kv_split": (
+            "select event_id, epoch_ms(ts) as auto_ts_ms, "
+            "coalesce(json_extract_string(props, '$.file_path'), '') as auto_file_path, "
+            "cast(len(json_keys(props)) - case when json_extract_string(props, "
+            "'$.file_path') is null then 0 else 1 end as bigint) as n_user_keys "
+            "from events"
         ),
         "p6_level_histogram": (
             f"select cast({_LEVEL_CASE_SQL} as bigint) as level_id, count(*) as n "
