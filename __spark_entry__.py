@@ -332,6 +332,42 @@ def q_t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (training-data token accounting)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session assignment with a 30-minute
+    inactivity gap (lag + cumulative-sum pattern), per-session stats —
+    the classic log-pipeline windowing op (streaming twin: session_window
+    in streaming/flush.py)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_millis("ts")).alias("session_start_ms"),
+        F.max(F.unix_millis("ts")).alias("session_end_ms"),
+    )
+
+
+def q_d_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH + exact verify."""
+    return D.embedding_near_dups(_emb(spark, sf_dir), threshold=0.9)
+
+
 def q_t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality scoring (length band, punctuation, stopwords)."""
     return _docs(spark, sf_dir).select(
@@ -493,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_sink_chunks": q_k1_sink_chunks,
         "t_token_counts": q_t_token_counts,
         "t_quality": q_t_quality,
+        "t_bpe_tokens": q_t_bpe_tokens,
+        "sessionize_events": q_sessionize_events,
         "t_lang_id": q_t_lang_id,
         "t_fingerprint": q_t_fingerprint,
         "d_exact_dedup": q_d_exact_dedup,
@@ -504,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "d_simhash": q_d_simhash,
         "d_lsh_pairs": q_d_lsh_pairs,
+        "d_embedding_near_dups": q_d_embedding_near_dups,
         "a_lsh_topk": q_a_lsh_topk,
     }
 
@@ -600,6 +639,25 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, cast(len(regexp_extract_all(text, '[^ ]+')) as bigint) "
             "as n_tokens, cast(ceil(length(text) / 4.0) as bigint) as n_subwords "
             "from documents"
+        ),
+        "t_bpe_tokens": (
+            "select doc_id, cast(len(regexp_extract_all(text, "
+            "'''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+| +')) as bigint) "
+            "as n_bpe_tokens from documents"
+        ),
+        "sessionize_events": (
+            "with e as (select event_id, user_id, ts, "
+            "epoch_ms(ts) - epoch_ms(lag(ts) over (partition by user_id "
+            "order by ts, event_id)) as gap from events), "
+            "s as (select *, sum(case when gap is null or gap > 1800000 "
+            "then 1 else 0 end) over (partition by user_id order by ts, event_id "
+            "rows between unbounded preceding and current row) as session_idx "
+            "from e) "
+            "select user_id, cast(session_idx as bigint) as session_idx, "
+            "count(*) as n_events, "
+            "cast(min(epoch_ms(ts)) as bigint) as session_start_ms, "
+            "cast(max(epoch_ms(ts)) as bigint) as session_end_ms "
+            "from s group by 1, 2"
         ),
         "t_quality": (
             "with w as (select doc_id, text, "

@@ -24,6 +24,19 @@ def token_count(text: str = "text") -> Column:
     return F.size(F.expr(f"regexp_extract_all({text}, '{TOKEN_RE}', 0)")).cast("bigint")
 
 
+# BPE-ish pre-tokenizer: contractions | letter runs | digit runs | other
+# non-space | spaces.  Portable syntax (works in Java regex, RE2, Python).
+BPE_ISH_RE = "'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+| +"
+
+
+def bpe_ish_token_count(text: str = "text") -> Column:
+    """Count of BPE-style pre-tokens (the standard GPT-2-ish split classes,
+    minus lookarounds RE2 lacks)."""
+    return F.size(
+        F.expr(f"regexp_extract_all({text}, \"{BPE_ISH_RE}\", 0)")
+    ).cast("bigint")
+
+
 def subword_estimate(text: str = "text") -> Column:
     """Cheap BPE-token estimate: ceil(chars / 4) — the standard heuristic."""
     return F.ceil(F.length(F.col(text)) / F.lit(4)).cast("bigint")

@@ -214,3 +214,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
             F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets bound
+    the candidate set (same machinery as ANN), exact cosine verifies.
+    Returns (id_a, id_b, cosine) pairs with cosine ≥ threshold."""
+    from fluent_bit_clp_spark.operators.similarity import cosine_expr, with_lsh_bucket
+
+    v = with_lsh_bucket(
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        dim, n_planes, "_v",
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(b, "lsh_bucket")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.expr(cosine_expr("a._v", "b._v")).alias("cosine"),
+        )
+    )
+    return pairs.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
