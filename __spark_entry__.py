@@ -365,7 +365,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_d_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH + exact verify."""
-    return D.embedding_near_dups(_emb(spark, sf_dir), threshold=0.9)
+    return D.embedding_near_dups(_emb(spark, sf_dir), threshold=0.35)
 
 
 def q_t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
