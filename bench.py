@@ -62,16 +62,30 @@ def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
             write_transcripts(spark, input_path, n_turns)
         out_path = os.path.join(tmp, "out")
 
-        # --- headline: full pipeline, scan → encode → route → chunk → write
+        # --- headline: full pipeline, two-phase single-scan shape
+        # (narrow offsets job + one full-scan encode job, as run_to_sinks
+        # does) — each timed iteration includes BOTH jobs.
         # untimed warmup + steady-state min-of-3: JIT compilation of the
         # generated code dominates cold single-shot runs (~3× steady state)
+        from fluent_bit_clp_spark.plans.pipeline import write_block_offsets
+
         df = spark.read.parquet(input_path)
-        enc = encode_pipeline(df, spark)
-        enc.write.mode("overwrite").format("noop").save()
+        offs_path = os.path.join(tmp, "offsets")
+
+        def pipeline_once(sink_writer):
+            offs = write_block_offsets(spark, df, offs_path)
+            enc = encode_pipeline(df, spark, offsets=offs)
+            sink_writer(enc)
+
+        pipeline_once(lambda enc: enc.write.mode("overwrite").format("noop").save())
         headline_sec = None
         for _ in range(3):
             t0 = time.monotonic()
-            enc.write.mode("overwrite").partitionBy("sink").parquet(out_path)
+            pipeline_once(
+                lambda enc: enc.write.mode("overwrite")
+                .partitionBy("sink")
+                .parquet(out_path)
+            )
             el = time.monotonic() - t0
             headline_sec = el if headline_sec is None else min(headline_sec, el)
         n_rows = spark.read.parquet(out_path).count()
@@ -242,17 +256,25 @@ def _headline_only(cpus: int, sf_dir: str, turns: int | None = None,
             input_path = os.path.join(tmp, "transcripts")
             write_transcripts(spark, input_path, n_turns)
         out_path = os.path.join(tmp, "out")
+        from fluent_bit_clp_spark.plans.pipeline import write_block_offsets
+
         df = spark.read.parquet(input_path)
-        enc = encode_pipeline(df, spark)
-        enc.write.mode("overwrite").format("noop").save()  # JIT warmup
+        offs_path = os.path.join(tmp, "offsets")
+
+        def pipeline_once(noop: bool):
+            offs = write_block_offsets(spark, df, offs_path)
+            enc = encode_pipeline(df, spark, offsets=offs)
+            if noop:
+                enc.write.mode("overwrite").format("noop").save()
+            else:
+                enc.write.mode("overwrite").partitionBy("sink").parquet(out_path)
+
+        pipeline_once(True)  # JIT warmup
         sec = None
         reps = 8 if noop_sink else 4  # steady-state mins (JIT needs ~3 runs)
         for _ in range(reps):
             t0 = time.monotonic()
-            if noop_sink:
-                enc.write.mode("overwrite").format("noop").save()
-            else:
-                enc.write.mode("overwrite").partitionBy("sink").parquet(out_path)
+            pipeline_once(noop_sink)
             el = time.monotonic() - t0
             sec = el if sec is None else min(sec, el)
         if noop_sink:

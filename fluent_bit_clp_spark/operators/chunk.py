@@ -26,6 +26,16 @@ offsets hierarchically:
 
 Result is bit-identical to the single-window formulation (property-tested)
 while every stage stays bounded per task.
+
+Single-scan mode (the 100 TB path): any prefix sum needs the per-block
+totals *and* the rows — a diamond dependency.  Left in one lazy plan,
+Catalyst prunes the two branches differently, so the fact table is
+scanned twice (the round-1 plan defect).  :func:`block_offsets` exposes
+the narrow summary branch as its own tiny job: materialize it once
+(scans only the route/size columns), then pass the result back via
+``assign_chunks(..., offsets=...)`` — the main plan then scans the fact
+table exactly once and broadcast-joins the (rows/block_turns)-row offset
+table.  `plans/pipeline.py:run_to_sinks` wires this up.
 """
 
 from __future__ import annotations
@@ -48,6 +58,47 @@ def with_row_bytes(df: DataFrame, size_cols: tuple[str, ...] = ("text",)) -> Dat
     return df.withColumn("row_bytes", total.cast("bigint"))
 
 
+def block_offsets(
+    df: DataFrame,
+    block_turns: int = DEFAULT_BLOCK_TURNS,
+    sink_col: str = "sink",
+    distributed_scan: bool = False,
+) -> DataFrame:
+    """The narrow summary branch as a standalone plan:
+    ``(sink, conv_id, _block) → _block_start`` (exclusive byte prefix).
+
+    Requires ``sink_col, conv_id, turn_idx, row_bytes`` — at scale feed it
+    a projection straight off the raw scan (route key + octet_length only;
+    see ``pipeline.write_block_offsets``), materialize the tiny result
+    (rows/block_turns rows), and pass it to ``assign_chunks(offsets=...)``
+    so the fact table is scanned exactly once.
+    """
+    blocks = (
+        df.withColumn("_block", F.floor(F.col("turn_idx") / F.lit(block_turns)))
+        .groupBy(sink_col, "conv_id", "_block")
+        .agg(F.sum("row_bytes").alias("_block_bytes"))
+    )
+    if distributed_scan:
+        # Fully parallel prefix sum — use when the block summary itself is
+        # huge (≳10^8 blocks/sink, i.e. beyond what one window task should
+        # sort).  Costs one extra sampling pass (repartitionByRange).
+        return _distributed_prefix_sum(
+            blocks, sink_col, ["conv_id", "_block"], "_block_bytes", "_block_start"
+        ).drop("_block_bytes")
+    # Summary window: one task per sink over block *summaries* only
+    # (input_rows / block_turns rows — tune block_turns so this stays
+    # small); the fact table itself is never single-tasked.
+    w_sink = (
+        Window.partitionBy(sink_col)
+        .orderBy("conv_id", "_block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return blocks.withColumn(
+        "_block_start",
+        F.coalesce(F.sum("_block_bytes").over(w_sink), F.lit(0)),
+    ).drop("_block_bytes")
+
+
 def assign_chunks(
     df: DataFrame,
     chunk_bytes: int = CHUNK_BYTES,
@@ -56,11 +107,18 @@ def assign_chunks(
     sink_col: str = "sink",
     broadcast_offsets: bool = True,
     distributed_scan: bool = False,
+    offsets: DataFrame | None = None,
 ) -> DataFrame:
     """Scalable hierarchical chunk assignment (see module docstring).
 
     Requires columns: ``sink_col, conv_id, turn_idx, row_bytes``.
     Adds: ``byte_start, chunk_id, ir_bin_id``.
+
+    ``offsets``: a pre-materialized :func:`block_offsets` table.  When
+    given, this plan reads the fact input ONCE (broadcast join + bounded
+    intra-block window — no summary branch); when None, the summary is a
+    branch of the same lazy plan, which costs a second (column-pruned)
+    pass over the size/route columns — fine interactively, wrong at scale.
 
     ``broadcast_offsets=True`` broadcasts the block-offset summary (it is
     input_rows / block_turns rows — tune ``block_turns`` so it stays a few
@@ -69,29 +127,11 @@ def assign_chunks(
     Set False only if the summary outgrows the driver.
     """
     df = df.withColumn("_block", F.floor(F.col("turn_idx") / F.lit(block_turns)))
-    blocks = df.groupBy(sink_col, "conv_id", "_block").agg(
-        F.sum("row_bytes").alias("_block_bytes")
+    blocks = (
+        offsets
+        if offsets is not None
+        else block_offsets(df, block_turns, sink_col, distributed_scan)
     )
-    if distributed_scan:
-        # Fully parallel prefix sum — use when the block summary itself is
-        # huge (≳10^8 blocks/sink, i.e. beyond what one window task should
-        # sort).  Costs one extra sampling pass (repartitionByRange).
-        blocks = _distributed_prefix_sum(
-            blocks, sink_col, ["conv_id", "_block"], "_block_bytes", "_block_start"
-        ).drop("_block_bytes")
-    else:
-        # Summary window: one task per sink over block *summaries* only
-        # (input_rows / block_turns rows — tune block_turns so this stays
-        # small); the fact table itself is never single-tasked.
-        w_sink = (
-            Window.partitionBy(sink_col)
-            .orderBy("conv_id", "_block")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        blocks = blocks.withColumn(
-            "_block_start",
-            F.coalesce(F.sum("_block_bytes").over(w_sink), F.lit(0)),
-        ).drop("_block_bytes")
     if broadcast_offsets:
         blocks = F.broadcast(blocks)
     out = df.join(blocks, [sink_col, "conv_id", "_block"])

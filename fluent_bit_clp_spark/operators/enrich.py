@@ -51,14 +51,23 @@ def enrich(
         "level_id",
         _literal_lookup("level_raw", L.LOG_LEVEL_ALIASES, L.DEFAULT_LEVEL),
     )
-    out = out.withColumn(
+    return with_route_lookups(out)
+
+
+def with_route_lookups(df: DataFrame) -> DataFrame:
+    """Only the role/tool dimension lookups (no level regex over ``text``).
+
+    Everything the route key (``operators.route.sink_column``) depends on —
+    used standalone by the narrow block-offsets pass, which must not touch
+    the wide ``text`` column beyond ``octet_length``.
+    """
+    out = df.withColumn(
         "role_id", _literal_lookup("role", {r: i for r, i, _ in L.ROLE_LOOKUP})
     ).withColumn(
         "sink_class", _literal_lookup("role", {r: s for r, _, s in L.ROLE_LOOKUP})
     )
-    out = out.withColumn(
+    return out.withColumn(
         "tool_id", _literal_lookup("tool", {t: i for t, i, _ in L.TOOL_LOOKUP})
     ).withColumn(
         "tool_tag", _literal_lookup("tool", {t: g for t, _, g in L.TOOL_LOOKUP})
     )
-    return out

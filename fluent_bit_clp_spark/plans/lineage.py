@@ -60,15 +60,39 @@ def committed_sinks(out_dir: str, run_id: str) -> set[str]:
     return {f[:-5] for f in os.listdir(d) if f.endswith(".json")}
 
 
-def sink_metrics(encoded: DataFrame, run_id: str, n_buckets: int = 64) -> DataFrame:
+def _data_marker(out_dir: str, run_id: str) -> str:
+    return os.path.join(out_dir, "_lineage", run_id, "_data.marker")
+
+
+def is_data_committed(out_dir: str, run_id: str) -> bool:
+    """True once the run's single partitionBy(sink) data write completed —
+    the write itself is atomic (Spark commit protocol), this marker makes
+    completion visible to a resumed driver."""
+    return os.path.exists(_data_marker(out_dir, run_id))
+
+
+def mark_data_committed(out_dir: str, run_id: str, payload: dict) -> None:
+    path = _data_marker(out_dir, run_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({**payload, "run_id": run_id}, f)
+    os.replace(tmp, path)
+
+
+def sink_metrics(written: DataFrame, run_id: str, n_buckets: int = 64) -> DataFrame:
     """Distributed per-(sink, partition) metrics — never driver-side.
+
+    Computed from the *written* sink table (a column-pruned parquet
+    read-back of sink/conv_id/dict_vars/row_bytes/encode_failed — the wide
+    text column is never re-read and the encode never re-runs).
 
     ``partition_id`` is a *deterministic* lineage bucket
     (``xxhash64(conv_id) % n_buckets``), stable across re-runs and
     parallelism levels, unlike physical partition ids.
     """
     return (
-        encoded.withColumn(
+        written.withColumn(
             "partition_id",
             F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
         )
@@ -78,9 +102,7 @@ def sink_metrics(encoded: DataFrame, run_id: str, n_buckets: int = 64) -> DataFr
             F.sum(
                 F.size(F.filter(F.col("dict_vars"), lambda v: v.isNotNull()))
             ).alias("dict_hits"),
-            F.sum(
-                (F.col("text").isNull() | F.col("ts").isNull()).cast("long")
-            ).alias("encode_failures"),
+            F.sum(F.col("encode_failed").cast("long")).alias("encode_failures"),
             F.sum("row_bytes").alias("bytes_ir"),
         )
         .withColumn("run_id", F.lit(run_id))

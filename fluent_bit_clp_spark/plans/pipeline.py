@@ -3,15 +3,30 @@
 The Spark-first re-expression of the reference's flush path
 (`/root/reference/plugins/out_clp_s3_v2/out_clp_s3_v2.go:159-185` traced in
 SURVEY.md §3.1): one declarative DataFrame plan — Catalyst prunes columns
-into the scan, the tiny lookups broadcast, the encode stage is pure
-whole-stage-codegen map work, and only the chunk-offset computation
-shuffles (hierarchically, bounded per task).
+into the scan, the tiny lookups fold into literal maps, the encode stage is
+pure Arrow-batched map work, and only the chunk-offset computation shuffles
+(hierarchically, bounded per task).
+
+Scale shape (round-2 fix of the double-scan defect):
+
+1. **Offsets pass** — a narrow plan over the raw table (route key from
+   role/tool literal maps + ``octet_length(text)`` only; no level regex,
+   no encode) aggregates per-block byte totals and prefix-sums them.  The
+   result is tiny (rows / block_turns) and is materialized to parquet.
+2. **Main pass** — ONE scan of the fact table: enrich → route → broadcast
+   join the materialized offsets → bounded intra-block window → Arrow
+   CLP-encode → a single ``partitionBy(sink)`` write.  No ``.cache()`` of
+   the encoded table, no per-sink actions.
+3. **Dictionaries + metrics** — derived from the *written* columnar
+   output with column-pruned read-backs (logtype/dict_vars columns only),
+   never by re-running the encode.
 
 Entry points:
 - :func:`encode_pipeline`   — the lazy DataFrame (for queries/benchmarks);
-- :func:`run_to_sinks`      — materialize per-sink outputs + lineage with
-                              checkpoint-resume (kill between sinks →
-                              re-run with same run_id → identical result).
+- :func:`run_to_sinks`      — the two-phase materialization with
+                              checkpoint-resume (kill between manifest
+                              commits → re-run with same run_id →
+                              identical result, no data rewrite).
 """
 
 from __future__ import annotations
@@ -22,8 +37,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
-from fluent_bit_clp_spark.operators.chunk import assign_chunks, with_row_bytes
-from fluent_bit_clp_spark.operators.enrich import enrich
+from fluent_bit_clp_spark.operators.chunk import (
+    CHUNK_BYTES,
+    DEFAULT_BLOCK_TURNS,
+    IR_BIN_BYTES,
+    assign_chunks,
+    block_offsets,
+    with_row_bytes,
+)
+from fluent_bit_clp_spark.operators.enrich import enrich, with_route_lookups
 from fluent_bit_clp_spark.operators.route import with_sink
 from fluent_bit_clp_spark.plans import lineage
 
@@ -58,7 +80,51 @@ def parse_normalize(df: DataFrame) -> DataFrame:
     return df.withColumn("ts_ms", F.unix_millis(F.col("ts")))
 
 
-def encode_pipeline(df: DataFrame, spark: SparkSession) -> DataFrame:
+def narrow_route_plan(df: DataFrame) -> DataFrame:
+    """Raw transcripts → ``(sink, conv_id, turn_idx, row_bytes)``.
+
+    The offsets pass reads only what byte accounting needs: the route key
+    is four literal-map lookups over (role, tool), and ``row_bytes`` is
+    ``octet_length(text)`` — the scan carries no other work, so this job
+    costs a fraction of the main pass (no level regex, no encode, and the
+    shuffle is the map-side-combined block summary, not rows).
+    """
+    out = with_route_lookups(
+        df.select("conv_id", "turn_idx", "role", "tool", "text")
+    )
+    out = with_sink(out)
+    out = with_row_bytes(out)
+    return out.select("sink", "conv_id", "turn_idx", "row_bytes")
+
+
+def write_block_offsets(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    block_turns: int = DEFAULT_BLOCK_TURNS,
+    distributed_scan: bool = False,
+) -> DataFrame:
+    """Materialize the block-offset summary; returns the re-read table.
+
+    rows/block_turns rows — KBs at test scale, a few GB at 10^12 turns
+    (still broadcastable at the default 8192 block size against a
+    multi-GB driver; raise ``block_turns`` to shrink it further).
+    """
+    offs = block_offsets(
+        narrow_route_plan(df), block_turns, distributed_scan=distributed_scan
+    )
+    offs.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def encode_pipeline(
+    df: DataFrame,
+    spark: SparkSession,
+    chunk_bytes: int = CHUNK_BYTES,
+    bin_bytes: int = IR_BIN_BYTES,
+    block_turns: int = DEFAULT_BLOCK_TURNS,
+    offsets: DataFrame | None = None,
+) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → encoded turns.
 
     Stage order is scale-deliberate: enrich/route/chunk first (they shuffle
@@ -66,6 +132,11 @@ def encode_pipeline(df: DataFrame, spark: SparkSession) -> DataFrame:
     encoded arrays), CLP-encode **last** (map-only, single evaluation,
     fused into the final stage right before the sink write).  The byte
     accounting uses ``octet_length(text)``, identical before/after encode.
+
+    ``offsets``: pass a materialized :func:`write_block_offsets` table to
+    make this plan scan the input exactly once (the 100 TB path).  Without
+    it the summary is a pruned branch of the same plan — a second, narrow
+    pass over (role, tool, text-for-length) only.
 
     Encode uses the Arrow pandas-UDF implementation: measured 5.7× faster
     than the semantically identical native-expression path (1.32M vs 230k
@@ -79,7 +150,13 @@ def encode_pipeline(df: DataFrame, spark: SparkSession) -> DataFrame:
     out = enrich(out, spark)
     out = with_sink(out)
     out = with_row_bytes(out)
-    out = assign_chunks(out)
+    out = assign_chunks(
+        out,
+        chunk_bytes=chunk_bytes,
+        bin_bytes=bin_bytes,
+        block_turns=block_turns,
+        offsets=offsets,
+    )
     out = clp_encode_pandas(out, "text")
     return out
 
@@ -89,68 +166,105 @@ def run_to_sinks(
     df: DataFrame,
     out_dir: str,
     run_id: str = "run-0",
+    cfg=None,
     fail_after_sinks: int | None = None,
 ) -> dict:
     """Materialize per-sink IR-stream tables + dictionaries + metrics.
 
-    Per-sink loop mirrors the reference's independent per-tag pipelines
-    (R1/K1); each sink commit is atomic (write dir, then manifest rename) so
-    a crash between sinks resumes exactly (T4).  ``fail_after_sinks`` is a
-    test hook for the kill-and-resume property.
+    One ``partitionBy(sink)`` write commits every sink's data atomically
+    (Spark's output-commit protocol), mirroring the reference's per-tag
+    uploads (R1/K1) without per-sink passes; per-sink manifests are then
+    committed from the written output so a crash mid-commit resumes
+    exactly (T4) — re-running with the same ``run_id`` skips both the data
+    write and already-committed manifests.  ``fail_after_sinks`` is a test
+    hook for the kill-and-resume property.
+
+    ``cfg``: a :class:`sources.tables.JobConfig`; threads upload_size_mb /
+    ir_bin_bytes / block_turns into the chunk assignment.
     """
     from pyspark.sql import Observation
 
-    # A1 analogue (`internal/irzstd/writer.go:74-87` numEvents/numBytes):
-    # observe() rides the first action — no extra pass over the data.
-    obs = Observation("ingest")
-    encoded = encode_pipeline(df, spark).select(*OUTPUT_COLS, "text", "ts")
-    encoded = encoded.observe(
-        obs,
-        F.count(F.lit(1)).alias("num_events"),
-        F.sum(F.coalesce(F.octet_length("text"), F.lit(0))).alias("num_bytes"),
-        F.sum((F.col("text").isNull() | F.col("ts").isNull()).cast("long")).alias(
-            "encode_failures"
-        ),
-    )
-    encoded.cache()
-    try:
-        sinks = sorted(
-            r["sink"] for r in encoded.select("sink").distinct().collect()
+    chunk_bytes = cfg.chunk_bytes if cfg is not None else CHUNK_BYTES
+    bin_bytes = cfg.ir_bin_bytes if cfg is not None else IR_BIN_BYTES
+    block_turns = cfg.block_turns if cfg is not None else DEFAULT_BLOCK_TURNS
+
+    sinks_path = os.path.join(out_dir, "sinks")
+    done = lineage.committed_sinks(out_dir, run_id)
+    ingest: dict = {}
+    if not lineage.is_data_committed(out_dir, run_id):
+        # Phase 0: narrow offsets job (route key + byte sizes only).
+        offsets = write_block_offsets(
+            spark, df, os.path.join(out_dir, "_offsets", run_id), block_turns
         )
-        done = lineage.committed_sinks(out_dir, run_id)
-        written = 0
-        for sink in sinks:
-            if sink in done:
-                continue
-            part = encoded.where(F.col("sink") == sink).select(*OUTPUT_COLS)
-            path = os.path.join(out_dir, "sinks", sink)
-            part.write.mode("overwrite").parquet(path)
-            rows = spark.read.parquet(path).count()
-            lineage.commit_manifest(
-                out_dir, run_id, sink, {"rows": rows, "path": path}
-            )
-            written += 1
-            if fail_after_sinks is not None and written >= fail_after_sinks:
-                raise RuntimeError(f"injected failure after {written} sinks")
-        # Dictionaries + metrics (hash IDs: stable across partitions/resume).
-        encoded.select("logtype_id", "logtype").distinct().write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, "logtype_dict"))
+        # Phase 1: the single full-scan job.  A1 analogue
+        # (`internal/irzstd/writer.go:74-87` numEvents/numBytes):
+        # observe() rides the write action — no extra pass over the data.
+        obs = Observation("ingest")
+        encoded = encode_pipeline(
+            df,
+            spark,
+            chunk_bytes=chunk_bytes,
+            bin_bytes=bin_bytes,
+            block_turns=block_turns,
+            offsets=offsets,
+        )
+        encoded = encoded.withColumn(
+            "encode_failed", F.col("text").isNull() | F.col("ts").isNull()
+        )
+        encoded = encoded.observe(
+            obs,
+            F.count(F.lit(1)).alias("num_events"),
+            F.sum(F.coalesce(F.octet_length("text"), F.lit(0))).alias("num_bytes"),
+            F.sum(F.col("encode_failed").cast("long")).alias("encode_failures"),
+        )
         (
-            encoded.select(F.explode("dict_vars").alias("var"))
-            .where(F.col("var").isNotNull())
-            .distinct()
-            .select(F.xxhash64("var").alias("var_id"), "var")
+            encoded.select(*OUTPUT_COLS, "encode_failed")
             .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "var_dict"))
+            .partitionBy("sink")
+            .parquet(sinks_path)
         )
-        lineage.sink_metrics(encoded, run_id).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "sink_metrics")
+        ingest = obs.get
+        lineage.mark_data_committed(out_dir, run_id, ingest)
+    # Phase 2: per-sink manifests from the committed output (narrow read).
+    written_tbl = spark.read.parquet(sinks_path)
+    counts = {
+        r["sink"]: r["n"]
+        for r in written_tbl.groupBy("sink").agg(F.count("*").alias("n")).collect()
+    }
+    written = 0
+    for sink in sorted(counts):
+        if sink in done:
+            continue
+        lineage.commit_manifest(
+            out_dir,
+            run_id,
+            sink,
+            {
+                "rows": counts[sink],
+                "path": os.path.join(sinks_path, f"sink={sink}"),
+            },
         )
-        return {
-            "sinks": sinks,
-            "resumed_skipped": sorted(done),
-            "ingest": obs.get,
-        }
-    finally:
-        encoded.unpersist()
+        written += 1
+        if fail_after_sinks is not None and written >= fail_after_sinks:
+            raise RuntimeError(f"injected failure after {written} sinks")
+    # Phase 3: dictionaries + metrics — column-pruned read-backs of the
+    # written parquet (hash IDs: stable across partitions/resume).
+    written_tbl.select("logtype_id", "logtype").distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "logtype_dict"))
+    (
+        written_tbl.select(F.explode("dict_vars").alias("var"))
+        .where(F.col("var").isNotNull())
+        .distinct()
+        .select(F.xxhash64("var").alias("var_id"), "var")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "var_dict"))
+    )
+    lineage.sink_metrics(written_tbl, run_id).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "sink_metrics")
+    )
+    return {
+        "sinks": sorted(counts),
+        "resumed_skipped": sorted(done),
+        "ingest": ingest,
+    }

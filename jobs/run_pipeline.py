@@ -48,7 +48,7 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("clp-transcript-pipeline").getOrCreate()
     df = load_transcripts(spark, cfg.input_path)
-    result = run_to_sinks(spark, df, cfg.output_dir, cfg.run_id)
+    result = run_to_sinks(spark, df, cfg.output_dir, cfg.run_id, cfg=cfg)
     print(json.dumps(result))
     spark.stop()
 

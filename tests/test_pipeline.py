@@ -207,6 +207,55 @@ def test_chunk_distributed_scan_equivalence(spark, encoded):
     assert a.equals(b)
 
 
+def test_materialized_offsets_single_scan_equivalence(spark, tmp_path, tiny):
+    """The two-phase (materialized block-offsets) plan is bit-identical to
+    the in-plan summary branch, and its main plan scans the input ONCE."""
+    from fluent_bit_clp_spark.plans.pipeline import (
+        encode_pipeline,
+        write_block_offsets,
+    )
+
+    src = str(tmp_path / "src")
+    tiny.write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    offs = write_block_offsets(spark, df, str(tmp_path / "offs"), block_turns=7)
+    two_phase = encode_pipeline(df, spark, block_turns=7, offsets=offs)
+    in_plan = encode_pipeline(df, spark, block_turns=7)
+    cols = ["sink", "conv_id", "turn_idx", "byte_start", "chunk_id", "ir_bin_id"]
+    a = two_phase.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    b = in_plan.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    # single fact scan: the fact-table path appears in exactly one
+    # FileScan (the other Scan parquet node is the tiny offsets table)
+    plan = two_phase._jdf.queryExecution().executedPlan().toString()
+    assert plan.count(os.path.basename(src)) == 1, plan
+
+
+def test_config_threading_changes_chunks(spark, tmp_path, tiny):
+    """ADVICE r1: upload_size_mb / block_turns must reach assign_chunks —
+    a non-default upload size produces different chunk boundaries."""
+    from fluent_bit_clp_spark.sources.tables import JobConfig
+
+    cfg = JobConfig(
+        input_path="x", output_dir="y", upload_size_mb=2,
+        ir_bin_bytes=1024, block_turns=64,
+    ).validate()
+    out_small = str(tmp_path / "small")
+    out_default = str(tmp_path / "default")
+    run_to_sinks(spark, tiny, out_small, "run-cfg", cfg=cfg)
+    run_to_sinks(spark, tiny, out_default, "run-cfg")
+    n_small = (
+        spark.read.parquet(os.path.join(out_small, "sinks"))
+        .select("sink", "ir_bin_id").distinct().count()
+    )
+    n_default = (
+        spark.read.parquet(os.path.join(out_default, "sinks"))
+        .select("sink", "ir_bin_id").distinct().count()
+    )
+    # 1 KiB bins over >100 KB of text must split where 2 MiB does not
+    assert n_small > n_default
+
+
 def test_observe_ingest_counters(spark, tmp_path, tiny):
     """A1 analogue: observe() counters match independent aggregates."""
     res = run_to_sinks(spark, tiny, str(tmp_path / "obs"), "run-obs")
