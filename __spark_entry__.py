@@ -417,15 +417,10 @@ def q_d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_d_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (md5-based so the oracle reproduces them)."""
-    words = F.expr(f"regexp_extract_all(lower(text), '{TS.WORD_RE}', 0)")
-    d = _docs(spark, sf_dir).select("doc_id", F.explode(words).alias("w"))
-    return d.groupBy("doc_id").agg(
-        F.min(F.md5(F.concat(F.lit("s0"), F.col("w")))).alias("mh0"),
-        F.min(F.md5(F.concat(F.lit("s1"), F.col("w")))).alias("mh1"),
-        F.min(F.md5(F.concat(F.lit("s2"), F.col("w")))).alias("mh2"),
-        F.min(F.md5(F.concat(F.lit("s3"), F.col("w")))).alias("mh3"),
-    )
+    """MinHash signatures — the PRODUCTION path (word-3-gram shingles,
+    k=8 portable 60-bit hashes), fully oracle-reproducible in DuckDB
+    (round-2 upgrade: round 1 oracle-checked only an inline md5 variant)."""
+    return D.minhash_signatures(_docs(spark, sf_dir), "doc_id")
 
 
 def q_d_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,20 +468,23 @@ def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash sketches (xxhash64-based — no SQL oracle, rows-only)."""
+    """SimHash sketches (portable 60-bit hash — DuckDB-oracle-checked)."""
     return D.simhash(_docs(spark, sf_dir), "doc_id")
 
 
 def q_d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs + exact Jaccard verify."""
+    """MinHash-LSH near-dup candidate pairs + exact Jaccard verify —
+    the full production banding/bucketing chain, oracle-checked."""
     docs = _docs(spark, sf_dir)
     sigs = D.minhash_signatures(docs, "doc_id")
     pairs = D.lsh_candidate_pairs(sigs, "doc_id")
-    return D.ngram_jaccard(docs, pairs, "doc_id").where(F.col("jaccard") >= 0.35)
+    out = D.ngram_jaccard(docs, pairs, "doc_id").where(F.col("jaccard") >= 0.35)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_a_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate ANN (scale path; rows-only check)."""
+    """LSH-bucketed approximate ANN (scale path) — bucket assignment uses
+    inline hyperplane literals shared verbatim with the oracle SQL."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.lsh_topk(emb, queries, dim=64, k=3, n_planes=4)
@@ -548,22 +546,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_exact_dedup": q_d_exact_dedup,
         "d_minhash_sigs": q_d_minhash_sigs,
         "d_shingles": q_d_shingles,
-        "a_ann_topk": q_a_ann_topk,
-        # rows-only (non-SQL-expressible: xxhash64 / our generated table)
-        "pipeline_roundtrip_violations": q_pipeline_roundtrip_violations,
-        "pipeline_sink_counts": q_pipeline_sink_counts,
         "d_simhash": q_d_simhash,
         "d_lsh_pairs": q_d_lsh_pairs,
         "d_embedding_near_dups": q_d_embedding_near_dups,
+        "a_ann_topk": q_a_ann_topk,
         "a_lsh_topk": q_a_lsh_topk,
+        # rows-only (our own generated transcript table — no DuckDB view)
+        "pipeline_roundtrip_violations": q_pipeline_roundtrip_violations,
+        "pipeline_sink_counts": q_pipeline_sink_counts,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from fluent_bit_clp_spark.functions.hashing import (
+        hyperplane_sql_literal,
+        portable_hash_sql,
+    )
+
     var_re = VAR_TOKEN_RE
     float_guard = (
         f"length(replace(replace(tok, '-', ''), '.', '')) <= {FLOAT_MAX_DIGITS}"
     )
+    # --- shared fragments for the hash-dependent dedup/ANN oracles -------
+    # word-3-gram shingles (identical to operators.dedup.with_shingles;
+    # shingle equality itself is pinned by the d_shingles oracle)
+    shingle_cte = (
+        "w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') "
+        "as words from documents), "
+        "sh as (select doc_id, case when len(words) < 3 then "
+        "[array_to_string(words, ' ')] else "
+        "list_transform(range(1, len(words) - 1), "
+        "i -> array_to_string(words[i:i+2], ' ')) end as shingles from w)"
+    )
+    minhash_cols = ", ".join(
+        f"min({portable_hash_sql('sh', s)}) as mh{s}" for s in range(8)
+    )
+    sig_cte = (
+        "u as (select doc_id, unnest(shingles) as sh from sh), "
+        f"sig as (select doc_id, {minhash_cols} from u group by doc_id)"
+    )
+    band_exprs = ", ".join(
+        portable_hash_sql(f"concat_ws('|', mh{2 * b}, mh{2 * b + 1})", 1000 + b)
+        for b in range(4)
+    )
+
+    def bucket_sql(n_planes: int, seed: int = 7, dim: int = 64) -> str:
+        return " + ".join(
+            f"(case when list_dot_product(vec, "
+            f"{hyperplane_sql_literal(dim, seed + b)}) >= 0 "
+            f"then ({1 << b})::bigint else 0::bigint end)"
+            for b in range(n_planes)
+        )
+
     return {
         "s2_scan_project": (
             "select event_id, user_id, cast(length(props) as bigint) as props_len "
@@ -707,11 +741,58 @@ def oracle_sql() -> dict[str, str]:
             "from documents"
         ),
         "d_minhash_sigs": (
+            f"with {shingle_cte}, {sig_cte} "
+            "select doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 from sig"
+        ),
+        "d_simhash": (
             "with w as (select doc_id, unnest(regexp_extract_all(lower(text), "
-            "'[a-z0-9]+')) as w from documents) "
-            "select doc_id, min(md5('s0' || w)) as mh0, min(md5('s1' || w)) as mh1, "
-            "min(md5('s2' || w)) as mh2, min(md5('s3' || w)) as mh3 "
-            "from w group by doc_id"
+            "'[a-z0-9]+')) as w from documents), "
+            f"h as (select doc_id, {portable_hash_sql('w', 0)} as h from w), "
+            "v as (select doc_id, b, sum(case when (h >> b) & 1 = 1 then 1 "
+            "else -1 end) as v from h cross join "
+            "(select unnest(range(60)) as b) bits group by 1, 2) "
+            "select doc_id, cast(sum(case when v > 0 then (1::bigint << b) "
+            "else 0 end) as bigint) as simhash from v group by doc_id"
+        ),
+        "d_lsh_pairs": (
+            f"with {shingle_cte}, {sig_cte}, "
+            f"band as (select doc_id, unnest([{band_exprs}]) as bucket from sig), "
+            "small as (select bucket from band group by bucket "
+            "having count(*) <= 200), "
+            "sb as (select band.doc_id, band.bucket from band "
+            "join small using (bucket)), "
+            "cand as (select distinct l.doc_id as id_a, r.doc_id as id_b "
+            "from sb l join sb r using (bucket) where l.doc_id < r.doc_id), "
+            "sets as (select doc_id, list_distinct(shingles) as sh_set from sh), "
+            "j as (select id_a, id_b, "
+            "cast(len(list_intersect(a.sh_set, b.sh_set)) as double) / "
+            "len(list_distinct(list_concat(a.sh_set, b.sh_set))) as jc "
+            "from cand join sets a on id_a = a.doc_id "
+            "join sets b on id_b = b.doc_id) "
+            "select id_a, id_b, round(jc, 6) as jaccard from j where jc >= 0.35"
+        ),
+        "d_embedding_near_dups": (
+            "with v as (select vec_id as id, cast(embedding as double[]) as vec "
+            "from embeddings), "
+            f"b as (select id, vec, {bucket_sql(8)} as bucket from v), "
+            "p as (select x.id as id_a, y.id as id_b, "
+            "list_cosine_similarity(x.vec, y.vec) as cos "
+            "from b x join b y using (bucket) where x.id < y.id) "
+            "select id_a, id_b, round(cos, 6) as cosine from p where cos >= 0.35"
+        ),
+        "a_lsh_topk": (
+            "with v as (select vec_id as id, cast(embedding as double[]) as vec "
+            "from embeddings), "
+            f"b as (select id, vec, {bucket_sql(4)} as bucket from v), "
+            "q as (select id as query_id, vec as qv, bucket from b where id < 5), "
+            "scored as (select q.query_id, n.id as neighbor_id, "
+            "list_cosine_similarity(n.vec, q.qv) as cos "
+            "from b n join q using (bucket) where n.id != q.query_id), "
+            "ranked as (select query_id, neighbor_id, cos, row_number() over "
+            "(partition by query_id order by cos desc, neighbor_id) as rank "
+            "from scored) "
+            "select query_id, cast(rank as int) as rank, neighbor_id, "
+            "round(cos, 6) as cosine from ranked where rank <= 3"
         ),
         "d_shingles": (
             "with w as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') "

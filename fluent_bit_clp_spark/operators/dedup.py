@@ -10,11 +10,16 @@ Four families, each scale-first:
                      the quadratic blowup is bounded by bucket size; at
                      100 TB the band signature groupBy is a uniform-key
                      shuffle (hash values), never a hot key.
-- **SimHash**      — 64-bit sketch via per-token xxhash64 bit-votes,
-                     computed with explode + groupBy-sum (no UDF); near-dups
-                     share simhash prefix buckets.
+- **SimHash**      — 60-bit sketch via per-token bit-votes, computed with
+                     explode + groupBy-sum (no UDF); near-dups share
+                     simhash prefix buckets.
 - **n-gram Jaccard** — exact verification on LSH candidates (the standard
                      verify step after banding).
+
+All hashing uses :mod:`functions.hashing`'s portable 60-bit md5-prefix
+hash — bit-identical in Spark and DuckDB, so every operator here is
+oracle-checkable end-to-end (round-2 upgrade from the xxhash64-based
+rows-only variants).
 """
 
 from __future__ import annotations
@@ -22,10 +27,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fluent_bit_clp_spark.functions.hashing import (
+    H_BITS,
+    portable_hash64,
+)
 from fluent_bit_clp_spark.functions.textstats import WORD_RE
 
 DEFAULT_MINHASH_K = 8
 DEFAULT_BANDS = 4  # rows-per-band = K / BANDS
+BAND_SEED_BASE = 1000  # band-hash seeds live above the minhash seed range
 
 
 def _words(text_col: str):
@@ -93,10 +103,11 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = DEFAULT_MINHASH_K
 ) -> DataFrame:
     """k min-hashes over word 3-gram shingles, fully native:
-    explode → per-seed xxhash64 → groupBy-min (map-side partial agg)."""
+    explode → per-seed portable hash → groupBy-min (map-side partial agg).
+    Oracle-checked against DuckDB (query d_minhash_sigs)."""
     sh = with_shingles(df, text_col).select(id_col, F.explode("shingles").alias("sh"))
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"mh{seed}")
+        F.min(portable_hash64(F.col("sh"), seed)).alias(f"mh{seed}")
         for seed in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -124,7 +135,10 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(bands):
         cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.xxhash64(*[F.col(c) for c in cols], F.lit(b)).alias(f"band{b}"))
+        joined = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        band_cols.append(
+            portable_hash64(joined, BAND_SEED_BASE + b).alias(f"band{b}")
+        )
     banded = sigs.select(id_col, *band_cols)
     stacked = banded.select(
         id_col,
@@ -193,18 +207,24 @@ def minhash_dedup(
     return df.join(dups, id_col, "left_anti")
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc, natively: explode words → per-bit votes via
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = H_BITS
+) -> DataFrame:
+    """60-bit SimHash per doc, natively: explode words → per-bit votes via
     groupBy-sum over bit positions → reassemble.  No UDF, two shuffles of
-    (doc, bit) vote rows — at scale this is a uniform-key aggregation."""
+    (doc, bit) vote rows — at scale this is a uniform-key aggregation.
+
+    Bit extraction is ``shiftright & 1`` (ADVICE r1: the old
+    ``div``-then-``%`` returned -1/0 on negative hashes, biasing votes);
+    the portable hash is non-negative by construction anyway."""
     words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
-    hashed = words.select(id_col, F.xxhash64("w").alias("h"))
+    hashed = words.select(id_col, portable_hash64(F.col("w")).alias("h"))
     bit_votes = hashed.select(
         id_col,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bits - 1}), "
-                f"b -> case when (h div shiftleft(1L, b)) % 2 != 0 then 1 else -1 end)"
+                f"b -> case when (shiftright(h, b) & 1) = 1 then 1 else -1 end)"
             )
         ).alias("bit", "vote"),
     )

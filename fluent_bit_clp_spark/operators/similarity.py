@@ -65,11 +65,16 @@ def cosine_topk(
 
 
 def _hyperplane(dim: int, seed: int) -> str:
-    """Deterministic pseudo-random hyperplane from hashes (no RNG)."""
-    return (
-        f"transform(sequence(0, {dim - 1}), "
-        f"i -> cast(pmod(xxhash64(i, {seed}), 2000) - 1000 as double) / 1000.0D)"
-    )
+    """Deterministic pseudo-random hyperplane as an inline array literal.
+
+    Coefficients come from the driver-side portable hash
+    (`functions.hashing.hyperplane_coeffs`) — computed once, embedded as
+    constants in the plan (no per-row hashing), and reproduced verbatim in
+    the DuckDB oracle SQL so bucket assignments match bit-for-bit."""
+    from fluent_bit_clp_spark.functions.hashing import hyperplane_coeffs
+
+    vals = ", ".join(f"{v!r}D" for v in hyperplane_coeffs(dim, seed))
+    return f"array({vals})"
 
 
 def with_lsh_bucket(

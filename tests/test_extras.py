@@ -128,3 +128,26 @@ def test_multimodal_features(spark):
 def test_multimodal_unknown_kind_raises():
     with pytest.raises(NotImplementedError):
         MM._decode_stub(b"x", "hologram")
+
+
+def test_portable_hash_matches_python(spark):
+    """The Spark portable 60-bit hash (functions.hashing) is bit-equal to
+    the Python twin that generates LSH hyperplane constants — and both are
+    non-negative (< 2^60)."""
+    from fluent_bit_clp_spark.functions.hashing import (
+        portable_hash64,
+        py_portable_hash64,
+    )
+    from pyspark.sql import functions as F
+
+    vals = ["", "hello", "wörld ünïcode", "a b c", "x" * 500, "123|456"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for seed in (0, 3, 1002):
+        got = {
+            r["s"]: r["h"]
+            for r in df.select("s", portable_hash64(F.col("s"), seed).alias("h")).collect()
+        }
+        for v in vals:
+            expect = py_portable_hash64(v, seed)
+            assert got[v] == expect, (v, seed)
+            assert 0 <= expect < (1 << 60)
