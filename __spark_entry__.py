@@ -129,6 +129,53 @@ def q_s2_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s1_msgpack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: full msgpack wire round-trip — events rows are packed into
+    multi-record binary chunks (mixing the three ms-preserving reference
+    layouts: FlbTime fixext8, v2 uint64-ms, v2 metadata array), decoded by
+    the production chunk decoder, and must equal the original table.
+    Byte-format correctness against handwritten spec fixtures is pinned
+    separately in tests/test_msgpack.py (incl. v1 uint64-seconds)."""
+    import pandas as pd
+
+    from fluent_bit_clp_spark.sources.msgpack import (
+        decode_msgpack_chunks,
+        encode_record,
+    )
+
+    layouts = ["v1_fixext", "v2_uint_ms", "v2_meta"]
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "props",
+        F.pmod(F.col("event_id"), F.lit(32)).alias("bucket"),
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        blob = b"".join(
+            encode_record(
+                int(t),
+                {"event_id": int(e), "msg": m},
+                layouts[int(e) % len(layouts)],
+            )
+            for e, t, m in zip(pdf["event_id"], pdf["ts_ms"], pdf["props"])
+        )
+        return pd.DataFrame(
+            {"src": [f"chunk-{int(pdf['bucket'].iloc[0])}"], "content": [blob]}
+        )
+
+    chunks = ev.groupBy("bucket").applyInPandas(enc, "src string, content binary")
+    dec = decode_msgpack_chunks(chunks, "v2")
+    return dec.select(
+        F.get_json_object("record_json", "$.event_id")
+        .cast("bigint")
+        .alias("event_id"),
+        "ts_ms",
+        F.get_json_object("record_json", "$.msg").alias("msg"),
+    )
+
+
 def q_p1_ts_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2: timestamp normalization to Unix millis."""
     return (
@@ -523,6 +570,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "s1_msgpack_decode": q_s1_msgpack_decode,
         "s2_scan_project": q_s2_scan_project,
         "p1_ts_millis": q_p1_ts_millis,
         "p3_json_parse": q_p3_json_parse,
@@ -599,6 +647,9 @@ def oracle_sql() -> dict[str, str]:
         )
 
     return {
+        "s1_msgpack_decode": (
+            "select event_id, epoch_ms(ts) as ts_ms, props as msg from events"
+        ),
         "s2_scan_project": (
             "select event_id, user_id, cast(length(props) as bigint) as props_len "
             "from events where event_type = 'error'"

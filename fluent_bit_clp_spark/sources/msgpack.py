@@ -1,0 +1,415 @@
+"""Msgpack chunk source — the reference's actual wire input (S1).
+
+The reference ingests Fluent Bit Msgpack chunks: a stream of top-level
+``[timestamp, record]`` arrays, where the timestamp is one of
+(`/root/reference/internal/decoder/decoder.go:30-36,105-176`):
+
+- **fixext 8, ext type 0** (``FlbTime``): 4 big-endian bytes of Unix
+  seconds + 4 big-endian bytes of nanoseconds (decoder.go:76-85);
+- **uint64** — Unix **milliseconds** in the v2 plugin
+  (`plugins/out_clp_s3_v2/out_clp_s3_v2.go:285-295`), Unix **seconds** in
+  the v1 plugin (`plugins/out_clp_s3/internal/flush/flush.go:122-134`);
+- **v2 metadata layout** ``[[timestamp, metadata], record]`` — the
+  timestamp is the first element of the inner array, which must have ≥2
+  elements (decoder.go:114-115,153-159).
+
+The record is marshalled to JSON (decoder.go:166-172); Go's
+``json.Marshal`` emits map keys in sorted order, which we mirror with
+``sort_keys=True`` + compact separators so downstream JSON parsing (P3)
+sees identical bytes.
+
+Deviation (same stance as ``plans.pipeline.parse_normalize``): the
+reference substitutes wall-clock *now* for unrecognized timestamp types
+(out_clp_s3_v2.go:291-294) — a deterministic batch engine must not, so we
+emit a null ``ts_ms`` and flag the row ``malformed`` instead; rows whose
+*structure* is broken (not a 2-array, short metadata array) are emitted
+null with ``malformed=true`` (the drop-and-count policy,
+decoder.go:147-163), and an undecodable byte stream aborts the remainder
+of that chunk with a single ``malformed`` row (msgpack cannot re-sync
+after a framing error).
+
+Spark shape: one input row per chunk blob (``binaryFile`` source or any
+(src, content) table) → ``mapInPandas`` fan-out to records.  Chunks are
+the unit of parallelism — Fluent Bit emits ~2 MiB chunks, so a 100 TB
+backlog is ~50M chunk rows spread uniformly across executors; the decode
+itself is per-chunk sequential by format (msgpack has no split points),
+which matches the reference's per-chunk decoder loop.
+
+The msgpack byte format implemented here is the public spec
+(msgpack/spec.md); no external msgpack library exists in this container,
+and the subset below covers everything Fluent Bit emits.  Byte-golden
+fixtures in tests/test_msgpack.py pin all four wire forms.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+FLB_TIME_EXT_TYPE = 0  # decoder.go:53-57 (SetBytesExt(..., 0, ...))
+
+DECODED_SCHEMA = (
+    "src string, rec_idx bigint, ts_ms bigint, record_json string, "
+    "malformed boolean"
+)
+
+
+class MsgpackError(ValueError):
+    pass
+
+
+class _FlbTime:
+    __slots__ = ("sec", "nsec")
+
+    def __init__(self, sec: int, nsec: int):
+        self.sec = sec
+        self.nsec = nsec
+
+    def to_ms(self) -> int:
+        # time.Unix(sec, nsec).UnixMilli() == sec*1000 + nsec//1e6
+        return self.sec * 1000 + self.nsec // 1_000_000
+
+
+class _Ext:
+    __slots__ = ("code", "data")
+
+    def __init__(self, code: int, data: bytes):
+        self.code = code
+        self.data = data
+
+
+def _decode_one(buf: bytes, pos: int):
+    """Decode one msgpack object at ``pos`` → (value, new_pos).
+
+    Covers the public-spec formats Fluent Bit produces: nil/bool, all
+    int/uint widths, float32/64, str, bin, array, map, fixext/ext.
+    """
+    if pos >= len(buf):
+        raise MsgpackError("truncated stream")
+    b = buf[pos]
+    pos += 1
+    if b <= 0x7F:  # positive fixint
+        return b, pos
+    if b >= 0xE0:  # negative fixint
+        return b - 0x100, pos
+    if 0x80 <= b <= 0x8F:  # fixmap
+        return _decode_map(buf, pos, b & 0x0F)
+    if 0x90 <= b <= 0x9F:  # fixarray
+        return _decode_array(buf, pos, b & 0x0F)
+    if 0xA0 <= b <= 0xBF:  # fixstr
+        return _take_str(buf, pos, b & 0x1F)
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b == 0xC4:  # bin8
+        (n,) = _unpack(">B", buf, pos)
+        return _take_bytes(buf, pos + 1, n)
+    if b == 0xC5:  # bin16
+        (n,) = _unpack(">H", buf, pos)
+        return _take_bytes(buf, pos + 2, n)
+    if b == 0xC6:  # bin32
+        (n,) = _unpack(">I", buf, pos)
+        return _take_bytes(buf, pos + 4, n)
+    if b == 0xC7:  # ext8
+        n, code = _unpack(">Bb", buf, pos)
+        data, pos = _take_bytes(buf, pos + 2, n)
+        return _Ext(code, data), pos
+    if b == 0xC8:  # ext16
+        n, code = _unpack(">Hb", buf, pos)
+        data, pos = _take_bytes(buf, pos + 3, n)
+        return _Ext(code, data), pos
+    if b == 0xC9:  # ext32
+        n, code = _unpack(">Ib", buf, pos)
+        data, pos = _take_bytes(buf, pos + 5, n)
+        return _Ext(code, data), pos
+    if b == 0xCA:  # float32
+        (v,) = _unpack(">f", buf, pos)
+        return v, pos + 4
+    if b == 0xCB:  # float64
+        (v,) = _unpack(">d", buf, pos)
+        return v, pos + 8
+    if b == 0xCC:
+        (v,) = _unpack(">B", buf, pos)
+        return v, pos + 1
+    if b == 0xCD:
+        (v,) = _unpack(">H", buf, pos)
+        return v, pos + 2
+    if b == 0xCE:
+        (v,) = _unpack(">I", buf, pos)
+        return v, pos + 4
+    if b == 0xCF:
+        (v,) = _unpack(">Q", buf, pos)
+        return v, pos + 8
+    if b == 0xD0:
+        (v,) = _unpack(">b", buf, pos)
+        return v, pos + 1
+    if b == 0xD1:
+        (v,) = _unpack(">h", buf, pos)
+        return v, pos + 2
+    if b == 0xD2:
+        (v,) = _unpack(">i", buf, pos)
+        return v, pos + 4
+    if b == 0xD3:
+        (v,) = _unpack(">q", buf, pos)
+        return v, pos + 8
+    if 0xD4 <= b <= 0xD8:  # fixext 1/2/4/8/16
+        n = 1 << (b - 0xD4)
+        (code,) = _unpack(">b", buf, pos)
+        data, pos = _take_bytes(buf, pos + 1, n)
+        return _Ext(code, data), pos
+    if b == 0xD9:  # str8
+        (n,) = _unpack(">B", buf, pos)
+        return _take_str(buf, pos + 1, n)
+    if b == 0xDA:  # str16
+        (n,) = _unpack(">H", buf, pos)
+        return _take_str(buf, pos + 2, n)
+    if b == 0xDB:  # str32
+        (n,) = _unpack(">I", buf, pos)
+        return _take_str(buf, pos + 4, n)
+    if b == 0xDC:  # array16
+        (n,) = _unpack(">H", buf, pos)
+        return _decode_array(buf, pos + 2, n)
+    if b == 0xDD:  # array32
+        (n,) = _unpack(">I", buf, pos)
+        return _decode_array(buf, pos + 4, n)
+    if b == 0xDE:  # map16
+        (n,) = _unpack(">H", buf, pos)
+        return _decode_map(buf, pos + 2, n)
+    if b == 0xDF:  # map32
+        (n,) = _unpack(">I", buf, pos)
+        return _decode_map(buf, pos + 4, n)
+    raise MsgpackError(f"unsupported msgpack marker 0x{b:02x}")
+
+
+def _unpack(fmt: str, buf: bytes, pos: int):
+    try:
+        return struct.unpack_from(fmt, buf, pos)
+    except struct.error as e:  # truncated
+        raise MsgpackError(str(e)) from e
+
+
+def _take_bytes(buf: bytes, pos: int, n: int):
+    if pos + n > len(buf):
+        raise MsgpackError("truncated payload")
+    return buf[pos : pos + n], pos + n
+
+
+def _take_str(buf: bytes, pos: int, n: int):
+    raw, pos = _take_bytes(buf, pos, n)
+    # RawToString analogue (decoder.go:62): strings, not byte arrays.
+    return raw.decode("utf-8", errors="replace"), pos
+
+
+def _decode_array(buf: bytes, pos: int, n: int):
+    out = []
+    for _ in range(n):
+        v, pos = _decode_one(buf, pos)
+        out.append(v)
+    return out, pos
+
+
+def _decode_map(buf: bytes, pos: int, n: int):
+    out = {}
+    for _ in range(n):
+        k, pos = _decode_one(buf, pos)
+        v, pos = _decode_one(buf, pos)
+        out[k if isinstance(k, str) else str(k)] = v
+    return out, pos
+
+
+def _jsonable(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if isinstance(v, _FlbTime):
+        return v.to_ms()
+    if isinstance(v, _Ext):
+        return None
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
+
+
+def _ts_to_ms(ts, ts_mode: str):
+    """The plugins' timestamp type switch.  Returns (ts_ms | None, ok)."""
+    if isinstance(ts, _Ext):
+        if ts.code == FLB_TIME_EXT_TYPE and len(ts.data) == 8:
+            sec, nsec = struct.unpack(">II", ts.data)  # decoder.go:80-84
+            return _FlbTime(sec, nsec).to_ms(), True
+        return None, False
+    if isinstance(ts, int) and not isinstance(ts, bool) and ts >= 0:
+        # v2: UnixMilli (out_clp_s3_v2.go:289-290);
+        # v1: Unix seconds (flush.go:126-127)
+        return (ts if ts_mode == "v2" else ts * 1000), True
+    return None, False
+
+
+def iter_records(
+    blob: bytes, ts_mode: str = "v2"
+) -> Iterator[tuple[int | None, str | None, bool]]:
+    """Decode a chunk → yields (ts_ms, record_json, malformed) per record.
+
+    Mirrors GetRecord's per-record contract (decoder.go:129-176): a
+    structurally broken record yields a malformed row; a framing error
+    aborts the rest of the chunk with one final malformed row.
+    """
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        try:
+            obj, pos = _decode_one(blob, pos)
+        except MsgpackError:
+            yield None, None, True  # undecodable remainder
+            return
+        if not isinstance(obj, list) or len(obj) != 2:
+            yield None, None, True
+            continue
+        ts, record = obj
+        if isinstance(ts, list):  # v2 metadata layout [[ts, meta], msg]
+            if len(ts) < 2:  # minMetadataLen (decoder.go:114-115)
+                yield None, None, True
+                continue
+            ts = ts[0]
+        ts_ms, ok = _ts_to_ms(ts, ts_mode)
+        record_json = json.dumps(
+            _jsonable(record),
+            sort_keys=True,  # Go json.Marshal emits sorted map keys
+            separators=(",", ":"),
+            ensure_ascii=False,
+        )
+        yield ts_ms, record_json, not ok
+
+
+def decode_msgpack_chunks(
+    chunks: DataFrame,
+    ts_mode: str = "v2",
+    src_col: str = "src",
+    blob_col: str = "content",
+) -> DataFrame:
+    """(src, content binary) chunk rows → one row per decoded record.
+
+    ``mapInPandas`` (Arrow-batched) so each executor decodes its chunks
+    independently; output carries (src, rec_idx) lineage for the
+    malformed-record counters (A1 analogue).
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for src, blob in zip(pdf[src_col], pdf[blob_col]):
+                if blob is None:
+                    rows.append((src, 0, None, None, True))
+                    continue
+                for i, (ts_ms, rec, bad) in enumerate(
+                    iter_records(bytes(blob), ts_mode)
+                ):
+                    rows.append((src, i, ts_ms, rec, bad))
+            yield pd.DataFrame(
+                rows,
+                columns=["src", "rec_idx", "ts_ms", "record_json", "malformed"],
+            )
+
+    return chunks.mapInPandas(run, DECODED_SCHEMA)
+
+
+def read_msgpack_files(
+    spark: SparkSession, path: str, ts_mode: str = "v2"
+) -> DataFrame:
+    """Directory/glob of Fluent Bit msgpack chunk files → decoded records
+    (S1+S3: the file-input analogue of the reference's chunk intake)."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.format("binaryFile").load(path)
+    return decode_msgpack_chunks(
+        raw.select(F.col("path").alias("src"), "content"), ts_mode
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoder — for fixtures, tests and the DuckDB oracle round-trip.  Kept
+# deliberately independent of the decoder (plain struct packing per the
+# public spec) so encode→decode is a real format check, not an identity.
+
+
+def _enc_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    n = len(b)
+    if n <= 31:
+        return bytes([0xA0 | n]) + b
+    if n <= 0xFF:
+        return b"\xd9" + struct.pack(">B", n) + b
+    if n <= 0xFFFF:
+        return b"\xda" + struct.pack(">H", n) + b
+    return b"\xdb" + struct.pack(">I", n) + b
+
+
+def _enc_int(v: int) -> bytes:
+    if 0 <= v <= 0x7F:
+        return bytes([v])
+    if -32 <= v < 0:
+        return struct.pack("b", v)
+    if 0 <= v <= 0xFFFFFFFFFFFFFFFF:
+        return b"\xcf" + struct.pack(">Q", v)
+    return b"\xd3" + struct.pack(">q", v)
+
+
+def _enc_obj(v) -> bytes:
+    if v is None:
+        return b"\xc0"
+    if isinstance(v, bool):
+        return b"\xc3" if v else b"\xc2"
+    if isinstance(v, int):
+        return _enc_int(v)
+    if isinstance(v, float):
+        return b"\xcb" + struct.pack(">d", v)
+    if isinstance(v, str):
+        return _enc_str(v)
+    if isinstance(v, _FlbTime):
+        return b"\xd7" + struct.pack(">bII", FLB_TIME_EXT_TYPE, v.sec, v.nsec)
+    if isinstance(v, list):
+        head = (
+            bytes([0x90 | len(v)])
+            if len(v) <= 15
+            else b"\xdc" + struct.pack(">H", len(v))
+        )
+        return head + b"".join(_enc_obj(x) for x in v)
+    if isinstance(v, dict):
+        head = (
+            bytes([0x80 | len(v)])
+            if len(v) <= 15
+            else b"\xde" + struct.pack(">H", len(v))
+        )
+        return head + b"".join(
+            _enc_obj(k) + _enc_obj(x) for k, x in sorted(v.items())
+        )
+    raise TypeError(f"unencodable {type(v)}")
+
+
+def encode_record(
+    ts_ms: int, record: dict, layout: str = "v2_uint_ms"
+) -> bytes:
+    """One wire record in any of the four reference-observed layouts:
+
+    - ``v1_fixext``  : ``[FlbTime(sec, nsec), record]``
+    - ``v1_uint_s``  : ``[uint64 seconds, record]``
+    - ``v2_uint_ms`` : ``[uint64 millis, record]``
+    - ``v2_meta``    : ``[[FlbTime(sec, nsec), metadata_map], record]``
+    """
+    if layout == "v1_fixext" or layout == "v2_meta":
+        ts = _FlbTime(ts_ms // 1000, (ts_ms % 1000) * 1_000_000)
+        head = [ts, {}] if layout == "v2_meta" else ts
+    elif layout == "v1_uint_s":
+        head = ts_ms // 1000
+    elif layout == "v2_uint_ms":
+        head = ts_ms
+    else:
+        raise ValueError(f"unknown layout {layout}")
+    return _enc_obj([head, record])

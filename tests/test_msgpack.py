@@ -1,0 +1,132 @@
+"""Msgpack source: byte-golden fixtures for all four reference wire forms
+(`internal/decoder/decoder.go:30-36,105-176`, v2 uint64-ms
+`out_clp_s3_v2.go:285-295`, v1 uint64-s `flush/flush.go:122-134`), the
+malformed-record drop-and-count policy, and the Spark mapInPandas surface.
+
+Fixture bytes are handwritten per the public msgpack spec — NOT produced
+by our encoder — so decode correctness is pinned against the format, not
+against our own code.
+"""
+
+import struct
+
+from fluent_bit_clp_spark.sources.msgpack import (
+    decode_msgpack_chunks,
+    encode_record,
+    iter_records,
+    read_msgpack_files,
+)
+
+# --- handcrafted wire bytes -------------------------------------------------
+
+SEC, NSEC = 1_700_000_000, 123_000_000  # → 1700000000123 ms
+MS = SEC * 1000 + NSEC // 1_000_000
+
+# fixext8(type=0, BE sec, BE nsec)
+FIXEXT8_TS = b"\xd7\x00" + struct.pack(">II", SEC, NSEC)
+# {"log": "hello"} : fixmap(1) + fixstr"log" + fixstr"hello"
+RECORD = b"\x81\xa3log\xa5hello"
+RECORD_JSON = '{"log":"hello"}'
+
+V1_FIXEXT = b"\x92" + FIXEXT8_TS + RECORD  # [FlbTime, record]
+V1_UINT_S = b"\x92\xcf" + struct.pack(">Q", SEC) + RECORD  # [uint64 s, record]
+V2_UINT_MS = b"\x92\xcf" + struct.pack(">Q", MS) + RECORD  # [uint64 ms, record]
+# [[FlbTime, {}], record] — v2 metadata layout
+V2_META = b"\x92\x92" + FIXEXT8_TS + b"\x80" + RECORD
+
+
+def test_v1_fixext_flbtime():
+    assert list(iter_records(V1_FIXEXT, "v1")) == [(MS, RECORD_JSON, False)]
+    # FlbTime decode is mode-independent
+    assert list(iter_records(V1_FIXEXT, "v2")) == [(MS, RECORD_JSON, False)]
+
+
+def test_v1_uint64_seconds():
+    assert list(iter_records(V1_UINT_S, "v1")) == [
+        (SEC * 1000, RECORD_JSON, False)
+    ]
+
+
+def test_v2_uint64_millis():
+    assert list(iter_records(V2_UINT_MS, "v2")) == [(MS, RECORD_JSON, False)]
+
+
+def test_v2_metadata_layout():
+    assert list(iter_records(V2_META, "v2")) == [(MS, RECORD_JSON, False)]
+
+
+def test_multi_record_stream():
+    blob = V2_UINT_MS + V2_META + V1_FIXEXT
+    out = list(iter_records(blob, "v2"))
+    assert [r[0] for r in out] == [MS, MS, MS]
+    assert all(not r[2] for r in out)
+
+
+def test_malformed_short_metadata_array():
+    # [[FlbTime], record] — inner array below minMetadataLen (decoder.go:114)
+    blob = b"\x92\x91" + FIXEXT8_TS + RECORD + V2_UINT_MS
+    out = list(iter_records(blob, "v2"))
+    assert out[0] == (None, None, True)
+    assert out[1] == (MS, RECORD_JSON, False)  # stream continues
+
+
+def test_malformed_not_a_pair():
+    # fixarray(1) containing just a record — wrong arity
+    blob = b"\x91" + RECORD + V2_UINT_MS
+    out = list(iter_records(blob, "v2"))
+    assert out[0] == (None, None, True)
+    assert out[1][2] is False
+
+
+def test_malformed_bad_ts_type_keeps_record():
+    # ["x", record]: unrecognized ts type → null ts + flagged, record kept
+    # (we deviate from the reference's wall-clock substitution on purpose)
+    blob = b"\x92\xa1x" + RECORD
+    assert list(iter_records(blob, "v2")) == [(None, RECORD_JSON, True)]
+
+
+def test_truncated_stream_aborts_with_flag():
+    blob = V2_UINT_MS + V2_META[: len(V2_META) // 2]
+    out = list(iter_records(blob, "v2"))
+    assert out[0][2] is False
+    assert out[-1] == (None, None, True)
+
+
+def test_record_json_sorted_keys_nested():
+    # map keys must serialize sorted (Go json.Marshal semantics)
+    rec = b"\x82\xa1b\x01\xa1a\x92\xc3\xcb" + struct.pack(">d", 1.5)
+    blob = b"\x92\xcf" + struct.pack(">Q", MS) + rec
+    assert list(iter_records(blob, "v2")) == [
+        (MS, '{"a":[true,1.5],"b":1}', False)
+    ]
+
+
+def test_encoder_roundtrip_all_layouts():
+    for layout in ("v1_fixext", "v1_uint_s", "v2_uint_ms", "v2_meta"):
+        mode = "v1" if layout == "v1_uint_s" else "v2"
+        blob = encode_record(MS, {"log": "hello"}, layout)
+        (ts_ms, rec, bad) = next(iter(iter_records(blob, mode)))
+        want = (MS // 1000) * 1000 if layout == "v1_uint_s" else MS
+        assert (ts_ms, rec, bad) == (want, RECORD_JSON, False), layout
+
+
+def test_spark_decode_chunks(spark):
+    rows = [("c0", V2_UINT_MS + V2_META), ("c1", V1_FIXEXT), ("c2", None)]
+    df = spark.createDataFrame(rows, "src string, content binary")
+    out = decode_msgpack_chunks(df, "v2").collect()
+    got = {(r.src, r.rec_idx): (r.ts_ms, r.record_json, r.malformed) for r in out}
+    assert got[("c0", 0)] == (MS, RECORD_JSON, False)
+    assert got[("c0", 1)] == (MS, RECORD_JSON, False)
+    assert got[("c1", 0)] == (MS, RECORD_JSON, False)
+    assert got[("c2", 0)] == (None, None, True)
+
+
+def test_spark_read_msgpack_files(spark, tmp_path):
+    d = tmp_path / "chunks"
+    d.mkdir()
+    (d / "a.msgpack").write_bytes(V2_UINT_MS)
+    (d / "b.msgpack").write_bytes(V2_META + V1_FIXEXT)
+    out = read_msgpack_files(spark, str(d), "v2")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r.ts_ms == MS and not r.malformed for r in rows)
