@@ -302,6 +302,25 @@ def q_e1_var_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e1_encode_4byte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 four-byte mode (CLP parity): classification AND the 32-bit
+    property packing, via the production clp_encode(mode='4byte') path —
+    the oracle recomputes both independently in SQL."""
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+
+    ev = _events(spark, sf_dir).select(_line_col().alias("text"))
+    enc = clp_encode(ev, mode="4byte")
+    z = enc.select(F.explode(F.arrays_zip("var_kinds", "encoded_vars")).alias("x"))
+    return (
+        z.select(
+            F.col("x.var_kinds").cast("bigint").alias("var_kind"),
+            F.col("x.encoded_vars").alias("encoded"),
+        )
+        .groupBy("var_kind", "encoded")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_e3_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3/R2/R3/A2: deterministic cumulative-size chunk assignment
     (single-window formulation == the hierarchical one, see tests)."""
@@ -582,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_var_classes": q_e1_var_classes,
         "e1_search": q_e1_search,
         "e1_logtype_dense": q_e1_logtype_dense,
+        "e1_encode_4byte": q_e1_encode_4byte,
         "e3_chunk_stats": q_e3_chunk_stats,
         "r1_route_counts": q_r1_route_counts,
         "k1_sink_chunks": q_k1_sink_chunks,
@@ -703,6 +723,25 @@ def oracle_sql() -> dict[str, str]:
             f"with d as (select distinct regexp_replace({_LINE_SQL}, '{VAR_TOKEN_RE}', "
             "chr(17), 'g') as logtype from events) "
             "select logtype, row_number() over (order by logtype) as dense_id from d"
+        ),
+        "e1_encode_4byte": (
+            f"with toks as (select unnest(regexp_extract_all({_LINE_SQL}, "
+            f"'{var_re}')) as tok from events), "
+            "p as (select tok, replace(replace(tok, '-', ''), '.', '') as digits, "
+            "(strpos(replace(tok, '-', ''), '.') - 1) as int_len, "
+            "case when substring(tok, 1, 1) = '-' then 1 else 0 end as neg "
+            "from toks), "
+            f"k as (select *, case when regexp_matches(tok, '{INT_RE}') "
+            "and try_cast(tok as bigint) between -2147483648 and 2147483647 "
+            f"then 0 when regexp_matches(tok, '{FLOAT_RE}') "
+            "and length(digits) <= 8 and try_cast(digits as bigint) <= 33554431 "
+            "then 1 else 2 end as var_kind from p) "
+            "select cast(var_kind as bigint) as var_kind, "
+            "cast(case when var_kind = 0 then cast(tok as bigint) "
+            "when var_kind = 1 then neg * 2147483648 "
+            "+ cast(digits as bigint) * 64 + (length(digits) - 1) * 8 "
+            "+ (length(digits) - int_len - 1) else null end as bigint) as encoded, "
+            "count(*) as n from k group by 1, 2"
         ),
         "e3_chunk_stats": (
             "with sized as (select event_id, event_type, "

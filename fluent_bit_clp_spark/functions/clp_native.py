@@ -62,6 +62,28 @@ KIND_INT = 0
 KIND_FLOAT = 1
 KIND_DICT = 2
 
+# --- four-byte encoding mode (CLP parity) ----------------------------------
+# The reference emits `ir.NewWriter[ir.FourByteEncoding]` streams
+# (`/root/reference/internal/irzstd/writer.go:100-113`, ingestion.go:66-67:
+# "FourByteEncoding is the standard encoding").  Per the public CLP
+# four-byte scheme (OSDI'21 paper §4.1.2 / clp-ffi encoding methods):
+# - an int variable is four-byte encodable iff it fits int32;
+# - a float variable packs its *properties* into 32 bits:
+#     bit 31   : is-negative
+#     bits 6-30: the digits with the '.' removed, as an integer (< 2^25)
+#     bits 3-5 : number of digits - 1          (1..8 digits)
+#     bits 0-2 : decimal position from the right - 1  (1..8)
+#   which bounds encodable floats to ≤8 total digits with digit-value
+#   < 33,554,432; everything else falls back to the dictionary.
+# Leading-zero / "-0" int tokens stay dictionary vars in both modes (they
+# would not round-trip byte-exactly through an integer).
+INT32_MIN = -2147483648
+INT32_MAX = 2147483647
+FLOAT4_MAX_DIGITS = 8
+FLOAT4_MAX_DIGIT_VALUE = (1 << 25) - 1  # 33554431
+MODE_I64 = "i64"  # our lossless widened layout (default)
+MODE_4BYTE = "4byte"  # CLP four-byte classification + property packing
+
 
 def _escape(col: str) -> str:
     """SQL expr: escape literal 0x10/0x11 bytes as 0x10+'e' / 0x10+'p'.
@@ -123,8 +145,67 @@ def _is_encodable_float(v: str) -> str:
     )
 
 
-def clp_encode(df: DataFrame, text_col: str = "text") -> DataFrame:
+# --- four-byte mode SQL builders (shared shape with the DuckDB oracle) ------
+
+
+def _is_encodable_int4(v: str) -> str:
+    return (
+        f"({v} rlike '{INT_RE}' and "
+        f"cast({v} as bigint) between {INT32_MIN} and {INT32_MAX})"
+    )
+
+
+def _is_encodable_float4(v: str) -> str:
+    digits = f"replace(replace({v}, '-', ''), '.', '')"
+    return (
+        f"({v} rlike '{FLOAT_RE}' "
+        f"and length({digits}) <= {FLOAT4_MAX_DIGITS} "
+        f"and cast({digits} as bigint) <= {FLOAT4_MAX_DIGIT_VALUE})"
+    )
+
+
+def _float4_pack_sql(v: str) -> str:
+    """CLP four-byte float property packing (module docstring layout).
+    Result is a u32 carried in the bigint column (0 <= p < 2^32)."""
+    digits = f"replace(replace({v}, '-', ''), '.', '')"
+    int_len = f"(instr(replace({v}, '-', ''), '.') - 1)"
+    sign = f"(case when substring({v}, 1, 1) = '-' then 1L else 0L end)"
+    nd = f"length({digits})"
+    pos_right = f"({nd} - {int_len})"
+    return (
+        f"({sign} * 2147483648L"  # 2^31
+        f" + cast({digits} as bigint) * 64L"  # << 6
+        f" + cast({nd} - 1 as bigint) * 8L"  # << 3
+        f" + cast({pos_right} - 1 as bigint))"
+    )
+
+
+def _float4_unpack_sql(p: str) -> str:
+    sign = f"(case when {p} >= 2147483648L then '-' else '' end)"
+    rem = f"({p} % 2147483648L)"
+    dv = f"({rem} div 64L)"
+    nd = f"(cast(({rem} % 64L) div 8L as int) + 1)"
+    pos = f"(cast({rem} % 8L as int) + 1)"
+    padded = f"lpad(cast({dv} as string), {nd}, '0')"
+    ilen = f"({nd} - {pos})"
+    return (
+        f"concat({sign}, substring({padded}, 1, {ilen}), '.', "
+        f"substring({padded}, {ilen} + 1))"
+    )
+
+
+def clp_encode(
+    df: DataFrame, text_col: str = "text", mode: str = MODE_I64
+) -> DataFrame:
     """Append the CLP encoding columns to ``df`` (native, map-only).
+
+    ``mode=MODE_I64`` (default): lossless widened layout — every int64
+    round-trippable int and every ≤14-digit float is encoded.
+    ``mode=MODE_4BYTE``: CLP four-byte parity — ints must fit int32,
+    floats must satisfy the 25-bit/8-digit property bounds, and the packed
+    value is the 32-bit CLP property word; everything else becomes a
+    dictionary variable (exactly the fallback CLP's four-byte encoder
+    takes).
 
     Built as a *sequence* of projections referencing real intermediate
     columns (``_esc``, ``_vars``) rather than one dict of nested
@@ -134,6 +215,14 @@ def clp_encode(df: DataFrame, text_col: str = "text") -> DataFrame:
     CollapseProject keeps non-cheap expressions single-use (SPARK-36718),
     so each stage below is computed exactly once per row.
     """
+    if mode == MODE_4BYTE:
+        int_guard = _is_encodable_int4("v")
+        float_guard = _is_encodable_float4("v")
+        float_pack = _float4_pack_sql("v")
+    else:
+        int_guard = f"v rlike '{INT_RE}'"
+        float_guard = _is_encodable_float("v")
+        float_pack = _float_pack_sql("v")
     out = df.withColumn("_esc", F.expr(_escape(text_col)))
     out = out.withColumn(
         "_vars", F.expr(f"regexp_extract_all(_esc, '{VAR_TOKEN_RE}', 0)")
@@ -146,8 +235,8 @@ def clp_encode(df: DataFrame, text_col: str = "text") -> DataFrame:
         "var_kinds",
         F.expr(
             f"transform(_vars, v -> case "
-            f"when v rlike '{INT_RE}' then {KIND_INT} "
-            f"when {_is_encodable_float('v')} then {KIND_FLOAT} "
+            f"when {int_guard} then {KIND_INT} "
+            f"when {float_guard} then {KIND_FLOAT} "
             f"else {KIND_DICT} end)"
         ),
     )
@@ -156,7 +245,7 @@ def clp_encode(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr(
             f"zip_with(_vars, var_kinds, (v, k) -> case "
             f"when k = {KIND_INT} then cast(v as bigint) "
-            f"when k = {KIND_FLOAT} then {_float_pack_sql('v')} "
+            f"when k = {KIND_FLOAT} then {float_pack} "
             f"else cast(null as bigint) end)"
         ),
     )
@@ -182,21 +271,23 @@ def clp_decode_column(
     var_kinds: str = "var_kinds",
     encoded_vars: str = "encoded_vars",
     dict_vars: str = "dict_vars",
+    mode: str = MODE_I64,
 ) -> Column:
     """Reassemble the original text from (logtype, kinds, encoded, dict) —
-    byte-exact inverse of :func:`clp_encode_columns`.
+    byte-exact inverse of :func:`clp_encode` (pass the same ``mode``).
 
     Linear-time native expression: split the logtype on the placeholder,
     render each variable, interleave with ``zip_with`` and join once with
     ``array_join`` (an ``aggregate``+``concat`` fold would be O(n²) in the
     variable count — fatal on multi-MiB turns).
     """
+    unpack = _float4_unpack_sql if mode == MODE_4BYTE else _float_unpack_sql
     pieces = f"split({logtype}, '{PLACEHOLDER}', -1)"
     zipped = f"arrays_zip({var_kinds}, {encoded_vars}, {dict_vars})"
     var_strs = (
         f"transform({zipped}, x -> case x.{var_kinds} "
         f"when {KIND_INT} then cast(x.{encoded_vars} as string) "
-        f"when {KIND_FLOAT} then {_float_unpack_sql(f'x.{encoded_vars}')} "
+        f"when {KIND_FLOAT} then {unpack(f'x.{encoded_vars}')} "
         f"else x.{dict_vars} end)"
     )
     joined = (
@@ -208,8 +299,10 @@ def clp_decode_column(
     return F.expr(_unescape(f"({joined})"))
 
 
-def clp_decode(df: DataFrame, out_col: str = "decoded_text") -> DataFrame:
-    return df.withColumn(out_col, clp_decode_column())
+def clp_decode(
+    df: DataFrame, out_col: str = "decoded_text", mode: str = MODE_I64
+) -> DataFrame:
+    return df.withColumn(out_col, clp_decode_column(mode=mode))
 
 
 def logtype_dictionary(encoded: DataFrame) -> DataFrame:

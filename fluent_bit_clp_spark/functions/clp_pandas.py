@@ -26,12 +26,18 @@ from pyspark.sql.functions import pandas_udf
 
 from fluent_bit_clp_spark.functions.clp_native import (
     ESCAPE,
+    FLOAT4_MAX_DIGIT_VALUE,
+    FLOAT4_MAX_DIGITS,
     FLOAT_MAX_DIGITS,
     FLOAT_RE,
+    INT32_MAX,
+    INT32_MIN,
     INT_RE,
     KIND_DICT,
     KIND_FLOAT,
     KIND_INT,
+    MODE_4BYTE,
+    MODE_I64,
     PLACEHOLDER,
     VAR_TOKEN_RE,
 )
@@ -139,9 +145,33 @@ def _unpack_float(p: int) -> str:
     return f"{sign}{s[:ilen]}.{s[ilen:]}"
 
 
-def _encode_one(text: str | None):
+def _pack_float4(tok: str) -> int:
+    """CLP four-byte float property word (layout: clp_native module
+    docstring — sign | 25-bit digit value | #digits-1 | decimal-pos-1)."""
+    digits = tok.replace("-", "").replace(".", "")
+    int_len = tok.replace("-", "").index(".")
+    pos_right = len(digits) - int_len
+    sign = 1 if tok.startswith("-") else 0
+    return (
+        (sign << 31) | (int(digits) << 6) | ((len(digits) - 1) << 3)
+        | (pos_right - 1)
+    )
+
+
+def _unpack_float4(p: int) -> str:
+    sign = "-" if p >= 1 << 31 else ""
+    rem = p % (1 << 31)
+    nd = ((rem % 64) >> 3) + 1
+    pos = (rem % 8) + 1
+    s = str(rem >> 6).zfill(nd)
+    ilen = nd - pos
+    return f"{sign}{s[:ilen]}.{s[ilen:]}"
+
+
+def _encode_one(text: str | None, mode: str = MODE_I64):
     if text is None:
         return None, None, None, None
+    fourbyte = mode == MODE_4BYTE
     esc = text.replace(ESCAPE, ESCAPE + "e").replace(PLACEHOLDER, ESCAPE + "p")
     kinds: list[int] = []
     encoded: list[int | None] = []
@@ -153,15 +183,15 @@ def _encode_one(text: str | None):
         out.append(PLACEHOLDER)
         last = m.end()
         tok = m.group(0)
-        if _INT.match(tok):
+        if _INT.match(tok) and (
+            not fourbyte or INT32_MIN <= int(tok) <= INT32_MAX
+        ):
             kinds.append(KIND_INT)
             encoded.append(int(tok))
             dicts.append(None)
-        elif _FLOAT.match(tok) and len(
-            tok.replace("-", "").replace(".", "")
-        ) <= FLOAT_MAX_DIGITS:
+        elif _FLOAT.match(tok) and _float_ok(tok, fourbyte):
             kinds.append(KIND_FLOAT)
-            encoded.append(_pack_float(tok))
+            encoded.append(_pack_float4(tok) if fourbyte else _pack_float(tok))
             dicts.append(None)
         else:
             kinds.append(KIND_DICT)
@@ -171,10 +201,20 @@ def _encode_one(text: str | None):
     return "".join(out), kinds, encoded, dicts
 
 
-def _encode_batch(texts: pd.Series) -> pd.DataFrame:
+def _float_ok(tok: str, fourbyte: bool) -> bool:
+    digits = tok.replace("-", "").replace(".", "")
+    if fourbyte:
+        return (
+            len(digits) <= FLOAT4_MAX_DIGITS
+            and int(digits) <= FLOAT4_MAX_DIGIT_VALUE
+        )
+    return len(digits) <= FLOAT_MAX_DIGITS
+
+
+def _encode_batch(texts: pd.Series, mode: str = MODE_I64) -> pd.DataFrame:
     rows = []
     for t in texts:
-        lt, kinds, encs, dicts = _encode_one(t)
+        lt, kinds, encs, dicts = _encode_one(t, mode)
         if lt is None:
             rows.append((None, None, None, None, None, None))
             continue
@@ -187,15 +227,16 @@ def _encode_batch(texts: pd.Series) -> pd.DataFrame:
     )
 
 
-def clp_encode_udf():
+def clp_encode_udf(mode: str = MODE_I64):
     """Built lazily — @pandas_udf parses its DDL schema against the active
     SparkSession, so module-import-time construction would fail."""
-    return pandas_udf(_encode_batch, _ENCODE_SCHEMA)
+    return pandas_udf(lambda s: _encode_batch(s, mode), _ENCODE_SCHEMA)
 
 
-def _decode_one(logtype, kinds, encoded, dicts) -> str | None:
+def _decode_one(logtype, kinds, encoded, dicts, mode: str = MODE_I64) -> str | None:
     if logtype is None:
         return None
+    unpack = _unpack_float4 if mode == MODE_4BYTE else _unpack_float
     if kinds is None or len(kinds) == 0:
         joined = logtype
     else:
@@ -205,7 +246,7 @@ def _decode_one(logtype, kinds, encoded, dicts) -> str | None:
             if k == KIND_INT:
                 parts.append(str(encoded[i]))
             elif k == KIND_FLOAT:
-                parts.append(_unpack_float(encoded[i]))
+                parts.append(unpack(encoded[i]))
             else:
                 parts.append(dicts[i])
             parts.append(pieces[i + 1])
@@ -214,24 +255,29 @@ def _decode_one(logtype, kinds, encoded, dicts) -> str | None:
 
 
 def _decode_batch(
-    logtype: pd.Series, kinds: pd.Series, encoded: pd.Series, dicts: pd.Series
+    logtype: pd.Series, kinds: pd.Series, encoded: pd.Series, dicts: pd.Series,
+    mode: str = MODE_I64,
 ) -> pd.Series:
     return pd.Series(
         [
-            _decode_one(lt, k, e, d)
+            _decode_one(lt, k, e, d, mode)
             for lt, k, e, d in zip(logtype, kinds, encoded, dicts)
         ],
         dtype="object",
     )
 
 
-def clp_decode_udf():
-    return pandas_udf(_decode_batch, "string")
+def clp_decode_udf(mode: str = MODE_I64):
+    return pandas_udf(
+        lambda lt, k, e, d: _decode_batch(lt, k, e, d, mode), "string"
+    )
 
 
-def clp_encode_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+def clp_encode_pandas(
+    df: DataFrame, text_col: str = "text", mode: str = MODE_I64
+) -> DataFrame:
     """Append encoding columns via the Arrow-batched pandas UDF path."""
-    out = df.withColumn("_enc", clp_encode_udf()(F.col(text_col)))
+    out = df.withColumn("_enc", clp_encode_udf(mode)(F.col(text_col)))
     return out.select(
         "*",
         F.col("_enc.logtype").alias("logtype"),
@@ -243,10 +289,12 @@ def clp_encode_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_enc")
 
 
-def clp_decode_pandas(df: DataFrame, out_col: str = "decoded_text") -> DataFrame:
+def clp_decode_pandas(
+    df: DataFrame, out_col: str = "decoded_text", mode: str = MODE_I64
+) -> DataFrame:
     return df.withColumn(
         out_col,
-        clp_decode_udf()(
+        clp_decode_udf(mode)(
             F.col("logtype"),
             F.col("var_kinds"),
             F.col("encoded_vars"),

@@ -7,20 +7,32 @@ IR-then-zstd writer chain (`internal/irzstd/writer.go:100-113`) and the
 explicit end-of-stream byte on close (`internal/irzstd/disk.go:191-222`).
 
 Serialization is a compact length-prefixed layout (our own IR framing; the
-upstream CLP IR byte format lives in the clp-ffi-go submodule which is not
-vendored — SURVEY.md §1.4):
+upstream CLP IR byte protocol lives in the clp-ffi-go submodule, which is
+not vendored in the reference checkout — SURVEY.md §1.4):
 
-    [u8 version][u8 kind_tag]* per event:
-        0x01 ts_ms:i64  n_vars:u32  logtype_len:u32 logtype_bytes
-             per var: kind:u8 (0/1: i64 value | 2: u32 len + bytes)
+    [u8 version=2][u8 encoding  0=i64 | 1=4byte] then per event:
+        0x01 flags:u8 (bit0 = has_ts)
+             ts_ms:i64 (present iff bit0 — an explicit flag, so a genuine
+             ts of -1 ms round-trips; the v1 sentinel overloaded -1)
+             n_vars:u32  logtype_len:u32 logtype_bytes
+             per var: kind:u8
+                 kind 0 (int)  : i64 (i64 mode) | i32   (4byte mode)
+                 kind 1 (float): i64 (i64 mode) | u32   (4byte mode)
+                 kind 2 (dict) : u32 len + bytes
     [0x00 EOS]
+
+``encoding="4byte"`` matches the reference's standard mode
+(`ir.NewWriter[ir.FourByteEncoding]`, ingestion.go:66-67): every encoded
+variable costs exactly four bytes on the wire; feed it columns produced
+by ``clp_encode*(mode="4byte")`` (int32-range ints, CLP float property
+words — functions/clp_native.py module docstring).
 
 Compression: zstd when the ``zstandard`` module exists, else zlib
 (level 6) — the container ships neither CLP's zstd bindings nor
 python-zstandard, and parquet already applies real zstd at the sink
 (session default); the framing + grouped ``applyInPandas`` shape is the
 part that must be real, and is.  Round-trip is exact
-(tests/test_irstream.py).
+(tests/test_irstream.py, including ts_ms = -1 and 4-byte payloads).
 """
 
 from __future__ import annotations
@@ -51,9 +63,14 @@ except ImportError:  # pragma: no cover
 
     CODEC = "zlib"
 
-VERSION = 1
+VERSION = 2
 EVENT_TAG = 0x01
 EOS = 0x00  # explicit end-of-stream byte (disk.go:191-222)
+FLAG_HAS_TS = 0x01
+
+ENC_I64 = 0
+ENC_4BYTE = 1
+_ENC_BY_NAME = {"i64": ENC_I64, "4byte": ENC_4BYTE}
 
 CHUNK_SCHEMA = (
     "sink string, chunk_id bigint, n_events bigint, n_bytes_raw bigint, "
@@ -61,17 +78,26 @@ CHUNK_SCHEMA = (
 )
 
 
-def _ser_event(ts_ms, logtype: str, kinds, encs, dicts) -> bytes:
-    out = [struct.pack("<BqI", EVENT_TAG, -1 if ts_ms is None else int(ts_ms),
-                       0 if kinds is None else len(kinds))]
+def _ser_event(ts_ms, logtype: str, kinds, encs, dicts, enc: int) -> bytes:
+    if ts_ms is not None and pd.isna(ts_ms):  # Arrow null → pandas NaN
+        ts_ms = None
+    flags = 0 if ts_ms is None else FLAG_HAS_TS
+    out = [struct.pack("<BB", EVENT_TAG, flags)]
+    if ts_ms is not None:
+        out.append(struct.pack("<q", int(ts_ms)))
+    out.append(struct.pack("<I", 0 if kinds is None else len(kinds)))
     lt = (logtype or "").encode("utf-8")
     out.append(struct.pack("<I", len(lt)))
     out.append(lt)
     if kinds is not None:
         for k, e, d in zip(kinds, encs, dicts):
             k = int(k)
-            if k in (0, 1):
-                out.append(struct.pack("<Bq", k, int(e)))
+            if k == 0:
+                fmt = "<Bi" if enc == ENC_4BYTE else "<Bq"
+                out.append(struct.pack(fmt, k, int(e)))
+            elif k == 1:
+                fmt = "<BI" if enc == ENC_4BYTE else "<Bq"
+                out.append(struct.pack(fmt, k, int(e)))
             else:
                 db = (d or "").encode("utf-8")
                 out.append(struct.pack("<BI", k, len(db)))
@@ -79,13 +105,13 @@ def _ser_event(ts_ms, logtype: str, kinds, encs, dicts) -> bytes:
     return b"".join(out)
 
 
-def _serialize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _serialize_group(pdf: pd.DataFrame, enc: int) -> pd.DataFrame:
     pdf = pdf.sort_values(["conv_id", "turn_idx"])
-    buf = [struct.pack("<B", VERSION)]
+    buf = [struct.pack("<BB", VERSION, enc)]
     for _, r in pdf.iterrows():
         buf.append(
             _ser_event(r["ts_ms"], r["logtype"], r["var_kinds"],
-                       r["encoded_vars"], r["dict_vars"])
+                       r["encoded_vars"], r["dict_vars"], enc)
         )
     buf.append(struct.pack("<B", EOS))
     raw = b"".join(buf)
@@ -102,14 +128,16 @@ def _serialize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def write_ir_chunks(encoded: DataFrame) -> DataFrame:
+def write_ir_chunks(encoded: DataFrame, encoding: str = "i64") -> DataFrame:
     """(sink, chunk_id) groups → one compressed IR-stream blob each.
 
     ``applyInPandas`` group = one upload object; chunk sizes are bounded by
     construction (16 MB of payload), so group memory is bounded too.
+    ``encoding="4byte"`` requires encode columns from mode="4byte".
     """
     from pyspark.sql import functions as F
 
+    enc = _ENC_BY_NAME[encoding]
     # null-free i64 arrays: Arrow→pandas turns array<bigint>-with-nulls into
     # float64, corrupting packed values > 2^53.  Dict positions never read
     # the value (kind tag gates it), so 0 is a safe fill.
@@ -121,23 +149,31 @@ def write_ir_chunks(encoded: DataFrame) -> DataFrame:
     return (
         encoded.select(*cols, enc_nn.alias("encoded_vars"))
         .groupBy("sink", "chunk_id")
-        .applyInPandas(lambda pdf: _serialize_group(pdf), CHUNK_SCHEMA)
+        .applyInPandas(lambda pdf: _serialize_group(pdf, enc), CHUNK_SCHEMA)
     )
 
 
 def read_ir_chunk(blob: bytes) -> list[dict]:
     """Inverse of the serializer — used by the round-trip tests."""
     raw = _decompress(blob)
-    assert raw[0] == VERSION
-    pos = 1
+    version, enc = raw[0], raw[1]
+    assert version == VERSION
+    pos = 2
     events = []
     while True:
         tag = raw[pos]
         pos += 1
         if tag == EOS:
             break
-        ts_ms, n_vars = struct.unpack_from("<qI", raw, pos)
-        pos += 12
+        flags = raw[pos]
+        pos += 1
+        if flags & FLAG_HAS_TS:
+            (ts_ms,) = struct.unpack_from("<q", raw, pos)
+            pos += 8
+        else:
+            ts_ms = None
+        (n_vars,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
         (lt_len,) = struct.unpack_from("<I", raw, pos)
         pos += 4
         logtype = raw[pos : pos + lt_len].decode("utf-8")
@@ -146,9 +182,15 @@ def read_ir_chunk(blob: bytes) -> list[dict]:
         for _ in range(n_vars):
             k = raw[pos]
             pos += 1
-            if k in (0, 1):
-                (v,) = struct.unpack_from("<q", raw, pos)
-                pos += 8
+            if k == 0:
+                fmt = "<i" if enc == ENC_4BYTE else "<q"
+                (v,) = struct.unpack_from(fmt, raw, pos)
+                pos += struct.calcsize(fmt)
+                kinds.append(k); encs.append(v); dicts.append(None)
+            elif k == 1:
+                fmt = "<I" if enc == ENC_4BYTE else "<q"
+                (v,) = struct.unpack_from(fmt, raw, pos)
+                pos += struct.calcsize(fmt)
                 kinds.append(k); encs.append(v); dicts.append(None)
             else:
                 (dlen,) = struct.unpack_from("<I", raw, pos)
@@ -157,7 +199,7 @@ def read_ir_chunk(blob: bytes) -> list[dict]:
                 pos += dlen
                 kinds.append(k); encs.append(None)
         events.append(
-            {"ts_ms": None if ts_ms == -1 else ts_ms, "logtype": logtype,
+            {"ts_ms": ts_ms, "logtype": logtype,
              "var_kinds": kinds, "encoded_vars": encs, "dict_vars": dicts}
         )
     return events
