@@ -105,3 +105,34 @@ def stream_encode_to_sinks(
         .partitionBy("sink")
         .trigger(availableNow=True)
     )
+
+
+def stream_sync_overwrite(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """K2 continuous sync with the reference's overwrite-per-key semantics.
+
+    The v2 plugin re-PUTs the SAME object key on every sync
+    (`plugins/out_clp_s3_v2/internal/s3.go:126-149`; README file-mapping:
+    one S3 object per stream+index, overwritten as it grows) so a repeated
+    sync is idempotent at the object level.  Streaming analogue: each
+    micro-batch epoch maps to a deterministic key (``sync=<epoch>``
+    partition, sink-partitioned inside) written with ``mode("overwrite")``
+    via ``foreachBatch`` — replaying an epoch (checkpoint recovery, or a
+    full re-run over the same input) rewrites the same keys byte-for-byte
+    instead of appending duplicates.  Contrast with
+    :func:`stream_encode_to_sinks`, whose parquet sink appends
+    (exactly-once only via its own checkpoint).
+    """
+    import os
+
+    def sync(bdf: DataFrame, epoch_id: int) -> None:
+        (
+            bdf.write.mode("overwrite")
+            .partitionBy("sink")
+            .parquet(os.path.join(out_dir, f"sync={epoch_id}"))
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sync)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
