@@ -556,6 +556,80 @@ def q_a_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, dim=64, k=3, n_planes=4)
 
 
+# --- TPC-H dim-table queries (VERDICT r1 #10: prove the enrich path on
+# the driver-shipped external dims, not just our synthetic lookups) ------
+
+
+def q_h_enrich_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim chain enrich: orders → customer → nation → region,
+    rolled up per (region, nation).  The dims broadcast (region 5 rows,
+    nation 25, customer ~sf·150k — still the small side vs orders);
+    money sums go through decimal(18,2) so both engines aggregate
+    exactly (double sums are order-dependent)."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    dims = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.format_string(
+                "%.2f",
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            ).alias("revenue"),
+        )
+    )
+
+
+def q_h_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem (no shipdate column in
+    the driver's table, so no date predicate): pure map-side partial agg,
+    one tiny shuffle of 4-6 group rows per task."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    dec_sum = lambda c: F.format_string(  # noqa: E731 — exact decimal sum,
+        "%.2f", F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+    )  # rendered fixed-width (sums ≪ 2^53 cents: double cast is exact)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_base_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_h_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 customers by order count: fact→dim join + bounded
+    per-nation window (rank ties broken by custkey — deterministic)."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    per_cust = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n_orders").desc(), F.col("c_custkey")
+    )
+    return (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("n_name", "rank", "c_custkey", "n_orders")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→encode→enrich→route→chunk pipeline over the
     deterministic transcript table, with sf0.001 documents unioned in as
@@ -619,6 +693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_embedding_near_dups": q_d_embedding_near_dups,
         "a_ann_topk": q_a_ann_topk,
         "a_lsh_topk": q_a_lsh_topk,
+        "h_enrich_nation_rollup": q_h_enrich_nation_rollup,
+        "h_pricing_summary": q_h_pricing_summary,
+        "h_top_customers": q_h_top_customers,
         # rows-only (our own generated transcript table — no DuckDB view)
         "pipeline_roundtrip_violations": q_pipeline_roundtrip_violations,
         "pipeline_sink_counts": q_pipeline_sink_counts,
@@ -893,6 +970,33 @@ def oracle_sql() -> dict[str, str]:
             "i -> array_to_string(words[i:i+2], ' ')) end as shingles from w) "
             "select doc_id, cast(len(list_distinct(shingles)) as bigint) as n_shingles "
             "from sh"
+        ),
+        "h_enrich_nation_rollup": (
+            "select r_name, n_name, count(*) as n_orders, "
+            "printf('%.2f', cast(sum(cast(o_totalprice as decimal(18,2))) "
+            "as double)) as revenue "
+            "from orders o join customer c on o.o_custkey = c.c_custkey "
+            "join nation n on c.c_nationkey = n.n_nationkey "
+            "join region r on n.n_regionkey = r.r_regionkey "
+            "group by 1, 2"
+        ),
+        "h_pricing_summary": (
+            "select l_returnflag, l_linestatus, "
+            "printf('%.2f', cast(sum(cast(l_quantity as decimal(18,2))) "
+            "as double)) as sum_qty, "
+            "printf('%.2f', cast(sum(cast(l_extendedprice as decimal(18,2))) "
+            "as double)) as sum_base_price, "
+            "count(*) as count_order from lineitem group by 1, 2"
+        ),
+        "h_top_customers": (
+            "with pc as (select c_custkey, c_nationkey, count(*) as n_orders "
+            "from orders o join customer c on o.o_custkey = c.c_custkey "
+            "group by 1, 2), "
+            "r as (select *, row_number() over (partition by c_nationkey "
+            "order by n_orders desc, c_custkey) as rank from pc) "
+            "select n_name, cast(rank as int) as rank, c_custkey, n_orders "
+            "from r join nation n on r.c_nationkey = n.n_nationkey "
+            "where rank <= 3"
         ),
         "a_ann_topk": (
             "with q as (select vec_id as query_id, embedding as q_vec from embeddings "
