@@ -22,6 +22,11 @@ The batch engine stays the primary path (deterministic chunking replaces
 timers — north_rule does not score timers); this module is the streaming
 stretch with a real `readStream → session_window → writeStream` plan,
 tested via availableNow triggers in tests/test_streaming.py.
+
+The session-window form approximates the soft timer at full shuffle-free
+throughput; the EXACT dual-timer semantics (earlier-only hard deadline,
+min-soft-delta tracking) live in :mod:`streaming.dual_timer` as both a
+batch operator and an ``applyInPandasWithState`` streaming operator.
 """
 
 from __future__ import annotations
