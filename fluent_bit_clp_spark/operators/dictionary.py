@@ -1,0 +1,84 @@
+"""Dictionary compaction: stable hash IDs → dense 1..N IDs, distributed.
+
+The pipeline's dictionary IDs are xxhash64 values — stable under
+parallelism and resume (SURVEY.md §7 risk 1) but sparse.  CLP proper uses
+dense dictionary ordinals; this module provides the offline compaction
+job that produces them WITHOUT the single-task global window the naive
+``row_number() over (order by key)`` formulation needs (the
+oracle/interactive view ``q_e1_logtype_dense`` keeps that formulation and
+carries a warning; this is the at-scale path).
+
+Rank-by-zone (same shape as operators/chunk.py's hierarchical offsets):
+
+1. zone = portable_hash(key) % zones — uniform by construction (hash),
+   so every zone holds ~N/zones dictionary entries;
+2. per-zone counts → exclusive prefix offsets (window over ≤ ``zones``
+   summary rows — never over entries);
+3. per-zone local ``row_number`` (one bounded task per zone) + broadcast
+   zone offset = global dense id.
+
+The resulting order is (zone, key) — a deterministic bijection onto
+1..N, reproducible in plain SQL (the DuckDB oracle recomputes it with a
+global window over the same sort key), and stable across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.functions.hashing import portable_hash64
+
+DEFAULT_ZONES = 256
+
+
+def dense_ids(
+    keys: DataFrame,
+    key_col: str,
+    out_col: str = "dense_id",
+    zones: int = DEFAULT_ZONES,
+) -> DataFrame:
+    """Distinct ``key_col`` rows → + ``out_col`` dense ids 1..N.
+
+    No global window: per-zone ranks are bounded (~N/zones per task; raise
+    ``zones`` for bigger dictionaries), zone offsets broadcast.
+    """
+    d = keys.select(key_col).distinct()
+    d = d.withColumn("_zone", F.pmod(portable_hash64(F.col(key_col)), F.lit(zones)))
+    counts = d.groupBy("_zone").agg(F.count("*").alias("_n"))
+    w_zone = (
+        Window.orderBy("_zone").rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤ `zones` summary rows — tiny by construction
+    offsets = counts.withColumn(
+        "_zstart", F.coalesce(F.sum("_n").over(w_zone), F.lit(0))
+    ).select("_zone", "_zstart")
+    w_local = Window.partitionBy("_zone").orderBy(key_col)
+    return (
+        d.join(F.broadcast(offsets), "_zone")
+        .withColumn(
+            out_col,
+            (F.col("_zstart") + F.row_number().over(w_local)).cast("bigint"),
+        )
+        .drop("_zone", "_zstart")
+    )
+
+
+def compact_logtype_dict(encoded: DataFrame, zones: int = DEFAULT_ZONES) -> DataFrame:
+    """Offline dense remap for the logtype dictionary:
+    (logtype_id (stable hash), logtype, dense_id 1..N)."""
+    lt = encoded.select("logtype_id", "logtype").distinct()
+    ranked = dense_ids(lt.select("logtype"), "logtype", zones=zones)
+    return lt.join(ranked, "logtype").select("logtype_id", "logtype", "dense_id")
+
+
+def compact_var_dict(encoded: DataFrame, zones: int = DEFAULT_ZONES) -> DataFrame:
+    """Offline dense remap for the dictionary-variable dictionary."""
+    v = (
+        encoded.select(F.explode("dict_vars").alias("var"))
+        .where(F.col("var").isNotNull())
+        .distinct()
+    )
+    ranked = dense_ids(v, "var", zones=zones)
+    return ranked.select(
+        F.xxhash64("var").alias("var_id"), "var", "dense_id"
+    )

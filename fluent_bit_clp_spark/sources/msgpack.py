@@ -333,6 +333,28 @@ def read_msgpack_files(
     )
 
 
+def stream_msgpack_files(
+    spark: SparkSession, path: str, ts_mode: str = "v2"
+) -> DataFrame:
+    """Streaming tail of a msgpack chunk directory (S1+S3): new chunk
+    files appear → decoded records flow, exactly-once via the stream
+    checkpoint — the Fluent Bit tail-input analogue of the reference's
+    continuous chunk intake."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .load(path)
+    )
+    return decode_msgpack_chunks(
+        raw.select(F.col("path").alias("src"), "content"), ts_mode
+    )
+
+
 # ---------------------------------------------------------------------------
 # Encoder — for fixtures, tests and the DuckDB oracle round-trip.  Kept
 # deliberately independent of the decoder (plain struct packing per the
