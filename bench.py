@@ -98,14 +98,18 @@ def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
             "e1_logtype_extract",
             "e1_logtype_dict",
             "e1_var_classes",
+            "e1_encode_4byte",
+            "e1_logtype_dense_dist",
             "e3_chunk_stats",
             "p6_level_histogram",
             "r1_route_counts",
+            "s1_msgpack_decode",
             "t_quality",
             "d_minhash_sigs",
             "d_shingles",
             "a_ann_topk",
             "d_lsh_pairs",
+            "h_pricing_summary",
         ]
         qtimes: dict[str, float] = {}
         for name in bench_queries:

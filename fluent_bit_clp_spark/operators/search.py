@@ -76,6 +76,50 @@ def exact_text_pattern(query: str) -> str:
     return "^" + ".*".join(re.escape(p) for p in query.split("*")) + "$"
 
 
+def compile_var_predicates(query: str) -> list:
+    """CLP-style sub-query enumeration, adapted: per-variable predicates.
+
+    CLP proper enumerates every (var|literal) interpretation of each query
+    token against its dictionaries (the paper's query compilation).  Our
+    encoder is *deterministic* — a concrete token has exactly ONE data-side
+    representation — so enumeration collapses to one predicate per token:
+
+    - encoded int/float token → ``array_contains(encoded_vars, packed)``
+    - dictionary token        → ``array_contains(dict_var_ids, xxh64(tok))``
+
+    Only *unambiguous* tokens compile (not adjacent to a ``*``: a fragment
+    like ``container-*`` may extend into a longer data token).  Soundness:
+    any text matching :func:`exact_text_pattern` contains each concrete
+    query part verbatim with its delimiters, so the same maximal token is
+    extracted and identically classified — the predicates can only remove
+    true negatives.  On concrete-value queries this prunes far below the
+    logtype-only filter (no decode of rows whose variables can't match).
+    """
+    from fluent_bit_clp_spark.functions.clp_pandas import _xxh64_str
+
+    parts = query.split("*")
+    preds = []
+    for i, part in enumerate(parts):
+        core = part
+        if i > 0:  # leading fragment touches a '*' — ambiguous, drop it
+            m = _LEADING_FRAG.match(core)
+            if m:
+                core = core[m.end():]
+        if i < len(parts) - 1:  # trailing fragment ambiguous
+            m = _TRAILING_FRAG.search(core)
+            if m:
+                core = core[: m.start()]
+        _, kinds, encs, dicts = _encode_one(core)
+        for k, e, d in zip(kinds or [], encs or [], dicts or []):
+            if d is not None:
+                preds.append(
+                    F.array_contains("dict_var_ids", F.lit(_xxh64_str(d)))
+                )
+            else:
+                preds.append(F.array_contains("encoded_vars", F.lit(e)))
+    return preds
+
+
 def logtype_matches(pattern: str, dictionary: DataFrame) -> DataFrame:
     return dictionary.where(F.col("logtype").rlike(pattern))
 
@@ -85,13 +129,18 @@ def search_encoded(
 ) -> DataFrame:
     """Rows of the encoded table matching ``query``.
 
-    Decode runs only on dictionary-pruned candidates (step 3 above)."""
+    Prune order: logtype pattern → per-variable predicates
+    (:func:`compile_var_predicates` — concrete values prune on the
+    encoded/dictionary columns, no decode) → decode-verify the survivors
+    only (step 3 above)."""
     pattern = compile_relaxed_pattern(query)
     if dictionary is not None:
         ids = F.broadcast(logtype_matches(pattern, dictionary).select("logtype_id"))
         cand = encoded.join(ids, "logtype_id", "left_semi")
     else:
         cand = encoded.where(F.col("logtype").rlike(pattern))
+    for pred in compile_var_predicates(query):
+        cand = cand.where(pred)
     verified = cand.withColumn("_decoded", clp_decode_column()).where(
         F.col("_decoded").rlike(exact_text_pattern(query))
     )

@@ -238,3 +238,24 @@ def stream_dual_timer_flush(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_dual_timer_sync(
+    events,
+    out_dir: str,
+    checkpoint_dir: str,
+    soft_deltas: list[int] | None = None,
+    hard_deltas: list[int] | None = None,
+    watermark: str = "10 seconds",
+):
+    """T1 + K2 composed: the dual-timer's flush decisions drive the
+    overwrite-per-key sync — each fired flush batch lands under a
+    deterministic ``sync=<epoch>`` key (re-PUT semantics), mirroring the
+    reference's timer-callback → S3 upload chain
+    (ingestion.go:110-127 → s3.go:126-149)."""
+    from fluent_bit_clp_spark.streaming.flush import stream_sync_overwrite
+
+    flushes = stream_dual_timer_flush(
+        events, soft_deltas, hard_deltas, watermark=watermark
+    )
+    return stream_sync_overwrite(flushes, out_dir, checkpoint_dir)

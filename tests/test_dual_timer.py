@@ -181,3 +181,34 @@ def test_stream_sync_overwrite_idempotent(spark, tmp_path):
     back = spark.read.parquet(os.path.join(out, "sync=0"))
     assert back.count() == 50  # overwritten, not doubled
     assert back.select("turn_idx").distinct().count() == 50
+
+
+def test_stream_dual_timer_sync_composed(spark, tmp_path):
+    """T1+K2: fired flush batches land under deterministic sync=<epoch>
+    keys, partitioned by sink."""
+    from fluent_bit_clp_spark.streaming.dual_timer import stream_dual_timer_sync
+
+    src = str(tmp_path / "src")
+    rows = [
+        ("a", "2026-01-01 00:00:00", 0, 5),
+        ("a", "2026-01-01 00:01:00", 0, 5),  # closes batch 0
+        ("b", "2026-01-01 00:00:00", 0, 5),
+        ("b", "2026-01-01 00:01:00", 0, 5),  # closes b's batch 0
+    ]
+    df = spark.createDataFrame(
+        rows, "sink string, ts_str string, level_id int, n_bytes long"
+    ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "sink string, level_id int, n_bytes long, ts timestamp"
+    ).parquet(src)
+    out = str(tmp_path / "synced")
+    q = stream_dual_timer_sync(stream, out, str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+    import glob
+
+    sync_dirs = sorted(glob.glob(os.path.join(out, "sync=*")))
+    assert sync_dirs, "at least one sync epoch written"
+    back = spark.read.parquet(*sync_dirs)
+    got = {(r.sink, r.batch_id): r.n_events for r in back.collect()}
+    assert got[("a", 0)] == 1 and got[("b", 0)] == 1

@@ -69,3 +69,69 @@ def test_compile_relaxed_pattern_shapes():
     assert "\x11" in pat and pat.startswith("^") and pat.endswith("$")
     pat2 = compile_relaxed_pattern("container-* after")
     assert "(?:" in pat2 and ".*" in pat2  # ambiguous fragment relaxed
+
+
+def test_var_predicates_concrete_value_query(spark):
+    """Sub-query enumeration: concrete variable values compile to
+    array_contains predicates that tighten the candidate set below the
+    logtype-only prune, with end-to-end equality preserved."""
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.search import (
+        compile_relaxed_pattern,
+        compile_var_predicates,
+        exact_text_pattern,
+        search_encoded,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"user {i % 50} did thing {i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    enc = clp_encode(df).cache()
+    try:
+        query = "user 7 did thing *"
+        hits = search_encoded(enc, query)
+        naive = df.where(F.col("text").rlike(exact_text_pattern(query)))
+        assert sorted(r.id for r in hits.collect()) == sorted(
+            r.id for r in naive.collect()
+        )
+        # the logtype-only prune keeps every row (all share one template);
+        # the value predicate must cut candidates to the 'user 7' slice
+        logtype_only = enc.where(
+            F.col("logtype").rlike(compile_relaxed_pattern(query))
+        ).count()
+        preds = compile_var_predicates(query)
+        assert preds, "concrete token must compile to a predicate"
+        pruned = enc.where(
+            F.col("logtype").rlike(compile_relaxed_pattern(query))
+        )
+        for p in preds:
+            pruned = pruned.where(p)
+        assert logtype_only == 2000
+        assert pruned.count() == 40  # ids 7, 57, ... — 2000/50
+    finally:
+        enc.unpersist()
+
+
+def test_var_predicates_dict_token(spark):
+    """A concrete dictionary token (hex id) prunes via dict_var_ids."""
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.search import search_encoded
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"req id-{i:x}af done") for i in range(500)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    enc = clp_encode(df)
+    hits = search_encoded(enc, "req id-1faf done")
+    assert [r.id for r in hits.collect()] == [0x1F]
+
+
+def test_var_predicates_skip_wildcard_fragments(spark):
+    """Tokens touching a '*' must NOT compile to predicates (they may
+    extend into longer data tokens)."""
+    from fluent_bit_clp_spark.operators.search import compile_var_predicates
+
+    assert compile_var_predicates("container-1*") == []
+    assert compile_var_predicates("*42-suffix") == []
+    # a delimiter between '*' and the token makes it unambiguous again
+    assert len(compile_var_predicates("* 42-suffix")) == 1
+    assert len(compile_var_predicates("a 42 *")) == 1
