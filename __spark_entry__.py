@@ -572,6 +572,58 @@ def q_a_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, dim=64, k=3, n_planes=4)
 
 
+def q_m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing oracle: documents become binary media payloads
+    (utf-8 bytes), flow through the production ``extract_features``
+    mapInPandas path, and the byte-accounting + content-hash outputs are
+    recomputed independently in SQL.  (The 8-bucket fake feature vector is
+    pytest-pinned — byte-level histograms aren't SQL-expressible.)"""
+    from fluent_bit_clp_spark.operators.multimodal import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_hash"
+    )
+
+
+def q_a_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: nearest-of-8-centroids cell assignment
+    (centroids = the first 8 vectors, deterministic), against an
+    independent SQL distance computation."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return SIM.ivf_assignments(emb, centroids).select(
+        "vec_id", "centroid_id", "dist2"
+    )
+
+
+def q_t_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality gate + language gate +
+    exact-dedup representative selection (min doc_id per fingerprint) —
+    the composite filter a real curation pipeline runs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        TS.fingerprint("text").alias("fp"),
+        F.round(TS.quality_score("text"), 4).alias("quality"),
+        TS.lang_id("text").alias("lang_pred"),
+    )
+    gated = d.where((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    reps = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return gated.join(reps, ["fp", "doc_id"]).select("doc_id", "fp", "quality")
+
+
 # --- TPC-H dim-table queries (VERDICT r1 #10: prove the enrich path on
 # the driver-shipped external dims, not just our synthetic lookups) ------
 
@@ -713,6 +765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_enrich_nation_rollup": q_h_enrich_nation_rollup,
         "h_pricing_summary": q_h_pricing_summary,
         "h_top_customers": q_h_top_customers,
+        "m_media_features": q_m_media_features,
+        "a_ivf_cells": q_a_ivf_cells,
+        "t_curation": q_t_curation,
         # rows-only (our own generated transcript table — no DuckDB view)
         "pipeline_roundtrip_violations": q_pipeline_roundtrip_violations,
         "pipeline_sink_counts": q_pipeline_sink_counts,
@@ -1021,6 +1076,44 @@ def oracle_sql() -> dict[str, str]:
             "select n_name, cast(rank as int) as rank, c_custkey, n_orders "
             "from r join nation n on r.c_nationkey = n.n_nationkey "
             "where rank <= 3"
+        ),
+        "m_media_features": (
+            "select cast(doc_id as bigint) as media_id, 'image' as kind, "
+            "cast(octet_length(encode(text)) as bigint) as n_bytes, "
+            "md5(text) as content_hash from documents"
+        ),
+        "a_ivf_cells": (
+            "with c as (select vec_id as centroid_id, "
+            "cast(embedding as double[]) as cv from embeddings where vec_id < 8), "
+            "v as (select vec_id, cast(embedding as double[]) as vv "
+            "from embeddings), "
+            "s as (select vec_id, centroid_id, "
+            "list_sum(list_transform(range(1, len(vv) + 1), "
+            "i -> (vv[i] - cv[i]) * (vv[i] - cv[i]))) as d2 from v, c), "
+            "r as (select *, row_number() over (partition by vec_id "
+            "order by d2, centroid_id) as rk from s) "
+            "select vec_id, centroid_id, round(d2, 6) as dist2 from r "
+            "where rk = 1"
+        ),
+        "t_curation": (
+            "with w as (select doc_id, text, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') as words from documents), "
+            "m as (select doc_id, text, words, "
+            "case when len(words) = 0 then 0.0 else "
+            "cast(len(list_filter(words, x -> x in ('the','a','of','and','to','in','is'))) "
+            "as double) / len(words) end as sr, "
+            "case when length(text) = 0 then 0.0 else "
+            "cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) "
+            "/ length(text) end as pr from w), "
+            "q as (select doc_id, md5(array_to_string(words, ' ')) as fp, "
+            "round(0.5 * (case when length(text) between 50 and 20000 then 1.0 "
+            "else 0.0 end) + 0.3 * (1 - least(pr * 4, 1.0)) "
+            "+ 0.2 * least(sr * 10, 1.0), 4) as quality, "
+            "case when sr > 0.03 then 'en' else 'unk' end as lang_pred from m), "
+            "g as (select * from q where quality >= 0.5 and lang_pred = 'en'), "
+            "r as (select fp, min(doc_id) as doc_id from g group by fp) "
+            "select g.doc_id, g.fp, g.quality from g "
+            "join r on g.fp = r.fp and g.doc_id = r.doc_id"
         ),
         "a_ann_topk": (
             "with q as (select vec_id as query_id, embedding as q_vec from embeddings "

@@ -130,3 +130,45 @@ def test_spark_read_msgpack_files(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 3
     assert all(r.ts_ms == MS and not r.malformed for r in rows)
+
+
+# --- property-based round-trip (hypothesis) --------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=40),
+)
+_json_vals = st.recursive(
+    _scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=4),
+        st.dictionaries(st.text(max_size=8), kids, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=(2**31 - 1) * 1000),
+    st.dictionaries(st.text(max_size=8), _json_vals, max_size=4),
+    st.sampled_from(["v1_fixext", "v2_uint_ms", "v2_meta"]),
+)
+def test_property_roundtrip_arbitrary_records(ts_ms, record, layout):
+    """Any JSON-able record survives encode→decode with the exact ts and
+    Go-style sorted-key JSON rendering."""
+    import json
+
+    blob = encode_record(ts_ms, record, layout)
+    (got_ts, got_json, bad) = next(iter(iter_records(blob, "v2")))
+    assert not bad
+    assert got_ts == ts_ms
+    assert got_json == json.dumps(
+        record, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+    )
