@@ -355,6 +355,41 @@ def stream_msgpack_files(
     )
 
 
+def msgpack_to_transcripts(
+    decoded: DataFrame,
+    use_single_key: bool = True,
+    single_key: str = "log",
+    allow_missing_key: bool = True,
+) -> DataFrame:
+    """Decoded msgpack records → the pipeline's transcript shape.
+
+    Mirrors the reference's record path: getMessage single-key extraction
+    with whole-record fallback (`flush.go:149-176`), then into the
+    encode pipeline.  The chunk source becomes the stream key (the
+    reference's per-tag stream): ``conv_id = src``, ``turn_idx =
+    rec_idx`` preserves intra-chunk arrival order, and log streams route
+    as ``role='system'`` (→ the ops sink).  Malformed records keep their
+    flag and surface in ``encode_failures`` (null text/ts).
+    """
+    from pyspark.sql import functions as F
+
+    from fluent_bit_clp_spark.operators.parse import (
+        parse_json_records,
+        single_key_message,
+    )
+
+    rec = parse_json_records(decoded, "record_json")
+    msg = single_key_message(use_single_key, single_key, allow_missing_key)
+    return rec.select(
+        F.col("src").alias("conv_id"),
+        F.col("rec_idx").cast("int").alias("turn_idx"),
+        F.lit("system").alias("role"),
+        msg.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Encoder — for fixtures, tests and the DuckDB oracle round-trip.  Kept
 # deliberately independent of the decoder (plain struct packing per the

@@ -31,6 +31,15 @@ def main() -> None:
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--upload-size-mb", type=int, default=16)
     ap.add_argument("--block-turns", type=int, default=8192)
+    ap.add_argument(
+        "--input-format",
+        choices=["transcripts", "msgpack"],
+        default="transcripts",
+        help="'msgpack': a directory of Fluent Bit msgpack chunk files "
+        "(decoded with FlbTime/uint64 timestamp semantics, single-key "
+        "message extraction, routed as one stream per chunk file)",
+    )
+    ap.add_argument("--ts-mode", choices=["v1", "v2"], default="v2")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,7 +56,20 @@ def main() -> None:
     ).validate()
 
     spark = SparkSession.builder.appName("clp-transcript-pipeline").getOrCreate()
-    df = load_transcripts(spark, cfg.input_path)
+    if args.input_format == "msgpack":
+        from fluent_bit_clp_spark.sources.msgpack import (
+            msgpack_to_transcripts,
+            read_msgpack_files,
+        )
+
+        df = msgpack_to_transcripts(
+            read_msgpack_files(spark, cfg.input_path, args.ts_mode),
+            use_single_key=cfg.use_single_key,
+            single_key=cfg.single_key,
+            allow_missing_key=cfg.allow_missing_key,
+        )
+    else:
+        df = load_transcripts(spark, cfg.input_path)
     result = run_to_sinks(spark, df, cfg.output_dir, cfg.run_id, cfg=cfg)
     print(json.dumps(result))
     spark.stop()

@@ -172,3 +172,48 @@ def test_property_roundtrip_arbitrary_records(ts_ms, record, layout):
     assert got_json == json.dumps(
         record, sort_keys=True, separators=(",", ":"), ensure_ascii=False
     )
+
+
+def test_msgpack_to_pipeline_end_to_end(spark, tmp_path):
+    """Full integration: msgpack chunk files → decode → single-key message
+    extraction → encode pipeline → per-sink output, with round-trip text
+    equality and the malformed record surfacing as an encode failure."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_clp_spark.functions.clp_native import clp_decode_column
+    from fluent_bit_clp_spark.plans.pipeline import run_to_sinks
+    from fluent_bit_clp_spark.sources.msgpack import (
+        msgpack_to_transcripts,
+        read_msgpack_files,
+    )
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    msgs = [f"level=warn worker {i} took {i * 1.5:.1f} ms" for i in range(20)]
+    blob = b"".join(
+        encode_record(1_700_000_000_000 + i, {"log": m, "file_path": "/var/log/x"})
+        for i, m in enumerate(msgs)
+    )
+    (d / "a.msgpack").write_bytes(blob)
+    # second chunk: one record whose ts type is bogus (null ts → failure)
+    (d / "b.msgpack").write_bytes(
+        b"\x92\xa1x" + b"\x81\xa3log\xa2ok"
+    )
+    decoded = read_msgpack_files(spark, str(d), "v2")
+    transcripts = msgpack_to_transcripts(decoded)
+    out = str(tmp_path / "out")
+    res = run_to_sinks(spark, transcripts, out, "run-mp")
+    assert res["ingest"]["num_events"] == 21
+    assert res["ingest"]["encode_failures"] == 1  # the null-ts record
+    back = spark.read.parquet(os.path.join(out, "sinks"))
+    assert set(r.sink for r in back.select("sink").distinct().collect()) == {"ops"}
+    dec = back.withColumn("t", clp_decode_column())
+    got = sorted(
+        r.t for r in dec.where(F.col("conv_id").like("%a.msgpack")).collect()
+    )
+    assert got == sorted(msgs)
+    # level extraction saw 'level=warn' (LEVEL_WARN == 3)
+    assert back.where(F.col("level_id") == 3).count() == 20
