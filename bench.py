@@ -152,8 +152,10 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32),
     """
     env_lo = os.environ.get("SPARK_SCALING_LO")
     env_hi = os.environ.get("SPARK_SCALING_HI")
-    if env_lo and env_hi:
-        levels = tuple(sorted({int(env_lo), int(env_hi), 32}))
+    if env_lo or env_hi:
+        # explicit override: measure exactly the requested pair (default
+        # the missing end to the standard 2/8), no extra forced levels
+        levels = tuple(sorted({int(env_lo or 2), int(env_hi or 8)}))
     input_dir = tempfile.mkdtemp(prefix="clpscale-")
     input_path = os.path.join(input_dir, "transcripts")
     subprocess.run(
@@ -185,11 +187,15 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32),
         shutil.rmtree(input_dir, ignore_errors=True)
 
     tput = {c: results[c]["turns_per_sec"] for c in levels}
+    # prefer exact N→4N pairs; fall back to consecutive levels (the
+    # efficiency formula normalizes by the actual core ratio either way)
     pairs = [
         (levels[i], levels[j])
         for i in range(len(levels))
         for j in range(i + 1, len(levels))
         if levels[j] == 4 * levels[i]
+    ] or [
+        (levels[i], levels[i + 1]) for i in range(len(levels) - 1)
     ]
     effs = {(lo, hi): (tput[hi] / tput[lo]) / (hi / lo) for (lo, hi) in pairs}
     rows = "\n".join(

@@ -127,11 +127,21 @@ def assign_chunks(
     Set False only if the summary outgrows the driver.
     """
     df = df.withColumn("_block", F.floor(F.col("turn_idx") / F.lit(block_turns)))
-    blocks = (
-        offsets
-        if offsets is not None
-        else block_offsets(df, block_turns, sink_col, distributed_scan)
-    )
+    if offsets is not None:
+        meta = {}
+        for f in offsets.schema.fields:
+            if f.name == "_block_start":
+                meta = f.metadata or {}
+        stamped = meta.get("block_turns")
+        if stamped is not None and int(stamped) != block_turns:
+            raise ValueError(
+                f"offsets table was built with block_turns={stamped}, "
+                f"assign_chunks called with {block_turns} — the block-key "
+                "join would silently drop rows"
+            )
+        blocks = offsets
+    else:
+        blocks = block_offsets(df, block_turns, sink_col, distributed_scan)
     if broadcast_offsets:
         blocks = F.broadcast(blocks)
     out = df.join(blocks, [sink_col, "conv_id", "_block"])

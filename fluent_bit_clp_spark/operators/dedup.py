@@ -94,23 +94,24 @@ def exact_dedup_groups(
     combined count).
     """
     hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
-    counts = hashed.groupBy("text_hash").agg(F.count("*").alias("n_dups"))
     partial = (
         hashed.withColumn("_pid", F.spark_partition_id())
         .groupBy("text_hash", "_pid")
         .agg(
+            F.count("*").alias("_n"),
             F.slice(F.sort_array(F.collect_list(id_col)), 1, max_ids).alias(
                 "_ids"
-            )
+            ),
         )
     )
-    capped = partial.groupBy("text_hash").agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("_ids"))), 1, max_ids
-        ).alias("doc_ids")
-    )
     return (
-        counts.join(capped, "text_hash")
+        partial.groupBy("text_hash")
+        .agg(
+            F.sum("_n").alias("n_dups"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_ids"))), 1, max_ids
+            ).alias("doc_ids"),
+        )
         .where(F.col("n_dups") >= 2)
         .select("text_hash", "n_dups", "doc_ids")
     )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fluent_bit_clp_spark.functions.clp_native import (
+    MODE_I64,
     PLACEHOLDER,
     clp_decode_column,
 )
@@ -76,7 +77,7 @@ def exact_text_pattern(query: str) -> str:
     return "^" + ".*".join(re.escape(p) for p in query.split("*")) + "$"
 
 
-def compile_var_predicates(query: str) -> list:
+def compile_var_predicates(query: str, mode: str = MODE_I64) -> list:
     """CLP-style sub-query enumeration, adapted: per-variable predicates.
 
     CLP proper enumerates every (var|literal) interpretation of each query
@@ -94,6 +95,10 @@ def compile_var_predicates(query: str) -> list:
     extracted and identically classified — the predicates can only remove
     true negatives.  On concrete-value queries this prunes far below the
     logtype-only filter (no decode of rows whose variables can't match).
+
+    ``mode`` MUST match the table's encode mode (i64 vs 4byte classify and
+    pack tokens differently — a mismatched mode would silently drop true
+    matches).
     """
     from fluent_bit_clp_spark.functions.clp_pandas import _xxh64_str
 
@@ -109,7 +114,7 @@ def compile_var_predicates(query: str) -> list:
             m = _TRAILING_FRAG.search(core)
             if m:
                 core = core[: m.start()]
-        _, kinds, encs, dicts = _encode_one(core)
+        _, kinds, encs, dicts = _encode_one(core, mode)
         for k, e, d in zip(kinds or [], encs or [], dicts or []):
             if d is not None:
                 preds.append(
@@ -125,23 +130,28 @@ def logtype_matches(pattern: str, dictionary: DataFrame) -> DataFrame:
 
 
 def search_encoded(
-    encoded: DataFrame, query: str, dictionary: DataFrame | None = None
+    encoded: DataFrame,
+    query: str,
+    dictionary: DataFrame | None = None,
+    mode: str = MODE_I64,
 ) -> DataFrame:
     """Rows of the encoded table matching ``query``.
 
     Prune order: logtype pattern → per-variable predicates
     (:func:`compile_var_predicates` — concrete values prune on the
     encoded/dictionary columns, no decode) → decode-verify the survivors
-    only (step 3 above)."""
+    only (step 3 above).  ``mode`` must be the mode the table was encoded
+    with (i64 default; pass "4byte" for FourByteEncoding tables — both
+    the value predicates and the decode-verify depend on it)."""
     pattern = compile_relaxed_pattern(query)
     if dictionary is not None:
         ids = F.broadcast(logtype_matches(pattern, dictionary).select("logtype_id"))
         cand = encoded.join(ids, "logtype_id", "left_semi")
     else:
         cand = encoded.where(F.col("logtype").rlike(pattern))
-    for pred in compile_var_predicates(query):
+    for pred in compile_var_predicates(query, mode):
         cand = cand.where(pred)
-    verified = cand.withColumn("_decoded", clp_decode_column()).where(
+    verified = cand.withColumn("_decoded", clp_decode_column(mode=mode)).where(
         F.col("_decoded").rlike(exact_text_pattern(query))
     )
     return verified.drop("_decoded")

@@ -80,6 +80,15 @@ def mark_data_committed(out_dir: str, run_id: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
+def read_data_marker(out_dir: str, run_id: str) -> dict:
+    """The ingest counters persisted at data-commit time — a resumed run
+    returns these so its result is identical to the uninterrupted one."""
+    with open(_data_marker(out_dir, run_id)) as f:
+        payload = json.load(f)
+    payload.pop("run_id", None)
+    return payload
+
+
 def sink_metrics(written: DataFrame, run_id: str, n_buckets: int = 64) -> DataFrame:
     """Distributed per-(sink, partition) metrics — never driver-side.
 

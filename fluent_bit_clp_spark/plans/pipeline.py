@@ -113,6 +113,10 @@ def write_block_offsets(
     offs = block_offsets(
         narrow_route_plan(df), block_turns, distributed_scan=distributed_scan
     )
+    # Stamp the granularity into the schema (survives the parquet
+    # round-trip) so assign_chunks can reject a mismatched offsets table
+    # instead of silently inner-join-dropping rows.
+    offs = offs.withMetadata("_block_start", {"block_turns": block_turns})
     offs.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -190,8 +194,11 @@ def run_to_sinks(
 
     sinks_path = os.path.join(out_dir, "sinks")
     done = lineage.committed_sinks(out_dir, run_id)
-    ingest: dict = {}
-    if not lineage.is_data_committed(out_dir, run_id):
+    if lineage.is_data_committed(out_dir, run_id):
+        # resumed run: replay the counters persisted with the data commit
+        # so the returned result matches the uninterrupted run exactly
+        ingest = lineage.read_data_marker(out_dir, run_id)
+    else:
         # Phase 0: narrow offsets job (route key + byte sizes only).
         offsets = write_block_offsets(
             spark, df, os.path.join(out_dir, "_offsets", run_id), block_turns

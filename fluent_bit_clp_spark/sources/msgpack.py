@@ -219,7 +219,11 @@ def _decode_map(buf: bytes, pos: int, n: int):
     for _ in range(n):
         k, pos = _decode_one(buf, pos)
         v, pos = _decode_one(buf, pos)
-        out[k if isinstance(k, str) else str(k)] = v
+        if isinstance(k, bytes):  # RawToString analogue for bin-typed keys
+            k = k.decode("utf-8", errors="replace")
+        elif not isinstance(k, str):
+            k = str(k)
+        out[k] = v
     return out, pos
 
 
@@ -237,8 +241,16 @@ def _jsonable(v):
     return v
 
 
+_I64_MAX = (1 << 63) - 1
+
+
 def _ts_to_ms(ts, ts_mode: str):
-    """The plugins' timestamp type switch.  Returns (ts_ms | None, ok)."""
+    """The plugins' timestamp type switch.  Returns (ts_ms | None, ok).
+
+    A uint64 beyond int64 range (legal msgpack; the Go reference would
+    wrap it through int64(t) into garbage) is flagged malformed instead —
+    emitting it would overflow the Arrow bigint column and kill the task.
+    """
     if isinstance(ts, _Ext):
         if ts.code == FLB_TIME_EXT_TYPE and len(ts.data) == 8:
             sec, nsec = struct.unpack(">II", ts.data)  # decoder.go:80-84
@@ -247,7 +259,10 @@ def _ts_to_ms(ts, ts_mode: str):
     if isinstance(ts, int) and not isinstance(ts, bool) and ts >= 0:
         # v2: UnixMilli (out_clp_s3_v2.go:289-290);
         # v1: Unix seconds (flush.go:126-127)
-        return (ts if ts_mode == "v2" else ts * 1000), True
+        ms = ts if ts_mode == "v2" else ts * 1000
+        if ms > _I64_MAX:
+            return None, False
+        return ms, True
     return None, False
 
 
@@ -265,7 +280,10 @@ def iter_records(
     while pos < n:
         try:
             obj, pos = _decode_one(blob, pos)
-        except MsgpackError:
+        except (MsgpackError, RecursionError):
+            # RecursionError: adversarially deep nesting (e.g. thousands of
+            # wrapped fixarrays) must degrade to a malformed row, not
+            # escape mapInPandas and kill the executor task.
             yield None, None, True  # undecodable remainder
             return
         if not isinstance(obj, list) or len(obj) != 2:
@@ -278,12 +296,16 @@ def iter_records(
                 continue
             ts = ts[0]
         ts_ms, ok = _ts_to_ms(ts, ts_mode)
-        record_json = json.dumps(
-            _jsonable(record),
-            sort_keys=True,  # Go json.Marshal emits sorted map keys
-            separators=(",", ":"),
-            ensure_ascii=False,
-        )
+        try:
+            record_json = json.dumps(
+                _jsonable(record),
+                sort_keys=True,  # Go json.Marshal emits sorted map keys
+                separators=(",", ":"),
+                ensure_ascii=False,
+            )
+        except RecursionError:
+            yield None, None, True
+            continue
         yield ts_ms, record_json, not ok
 
 

@@ -44,7 +44,11 @@ DEFAULT_DELTAS_MS = [3000, 3000, 3000, 3000, 3000]
 DEFAULT_LEVEL = 0
 FALLBACK_DELTA_MS = 1000  # flush_manager.go:140-142
 
-_INF = float("inf")
+# "Unset" sentinel for deadlines: finite (2^62 ms ≈ year 146M) because the
+# applyInPandasWithState state transport JSON-serializes doubles and
+# Infinity does not survive it (becomes null).  Mirrors the reference's
+# softDelta = math.MaxInt64 reset (flush_manager.go:69-70).
+_INF = float(1 << 62)
 
 FLUSH_SCHEMA = (
     "sink string, batch_id bigint, flush_at_ms bigint, n_events bigint, "
@@ -178,6 +182,19 @@ def stream_dual_timer_flush(
     the watermark passes the deadline with no newer event — exactly the
     timer-callback condition.  Requires columns (sink, ts timestamp,
     level_id int, n_bytes long).
+
+    Semantics notes vs :func:`dual_timer_batches`:
+
+    - batch ids are monotone per sink across timeout-fired flushes (the
+      counter survives in state — a small per-sink state row persists
+      between batches, bounded by sink cardinality);
+    - events are applied in ARRIVAL order within the watermark (each
+      micro-batch is sorted, but a watermark-admitted late event folds
+      after earlier-arriving newer events).  That matches the reference's
+      real-time timers — the Go flush manager also updates on arrival
+      order (flush_manager.go:86-116) — while the batch operator is the
+      deterministic event-time replay (global sort).  With ordered input
+      the two are identical (asserted in tests).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -185,29 +202,42 @@ def stream_dual_timer_flush(
     soft = soft_deltas or DEFAULT_DELTAS_MS
     hard = hard_deltas or DEFAULT_DELTAS_MS
 
+    def _save(state, st):
+        # plain Python scalars only: numpy values from pandas iteration do
+        # not survive the state row serialization (come back as null)
+        state.update((
+            int(st.batch_id), float(st.hard), float(st.min_soft),
+            float(st.soft), int(st.n_events), int(st.n_bytes),
+            int(st.max_level),
+            None if st.first_ts is None else int(st.first_ts),
+            None if st.last_ts is None else int(st.last_ts),
+        ))
+
+    def _restore(state) -> _TimerState:
+        (bid, h, ms, s, n, nb, ml, ft, lt) = state.get
+        st = _TimerState(bid)
+        st.hard, st.min_soft, st.soft = h, ms, s
+        st.n_events, st.n_bytes, st.max_level = n, nb, ml
+        st.first_ts, st.last_ts = ft, lt
+        return st
+
     def fold(key, pdf_iter, state: GroupState):
         (sink,) = key
         if state.hasTimedOut:
-            (bid, h, ms, s, n, nb, ml, ft, lt) = state.get
-            st = _TimerState(bid)
-            st.hard, st.min_soft, st.soft = h, ms, s
-            st.n_events, st.n_bytes, st.max_level = n, nb, ml
-            st.first_ts, st.last_ts = ft, lt
+            st = _restore(state)
             row = st.snapshot(sink)
-            state.remove()
+            # keep the monotone per-sink batch counter alive (VERDICT-style
+            # consumers key on (sink, batch_id)); no timeout on the empty
+            # successor state — the next event re-arms it.
+            st.batch_id += 1
+            st.reset()
+            _save(state, st)
             yield pd.DataFrame([row], columns=[
                 "sink", "batch_id", "flush_at_ms", "n_events", "n_bytes",
                 "max_level", "first_ts_ms", "last_ts_ms",
             ])
             return
-        if state.exists:
-            (bid, h, ms, s, n, nb, ml, ft, lt) = state.get
-            st = _TimerState(bid)
-            st.hard, st.min_soft, st.soft = h, ms, s
-            st.n_events, st.n_bytes, st.max_level = n, nb, ml
-            st.first_ts, st.last_ts = ft, lt
-        else:
-            st = _TimerState()
+        st = _restore(state) if state.exists else _TimerState()
         closed = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values("ts_ms", kind="mergesort")
@@ -215,14 +245,9 @@ def stream_dual_timer_flush(
                 zip(pdf["ts_ms"], pdf["level_id"], pdf["n_bytes"]),
                 st, soft, hard, default_level, sink,
             ))
+        _save(state, st)
         if st.n_events > 0:
-            state.update((
-                st.batch_id, st.hard, st.min_soft, st.soft, st.n_events,
-                st.n_bytes, st.max_level, st.first_ts, st.last_ts,
-            ))
             state.setTimeoutTimestamp(int(st.fire_at))
-        elif state.exists:
-            state.remove()
         yield pd.DataFrame(closed, columns=[
             "sink", "batch_id", "flush_at_ms", "n_events", "n_bytes",
             "max_level", "first_ts_ms", "last_ts_ms",

@@ -159,3 +159,22 @@ def test_ir_stream_4byte_wire(spark):
     assert by_ts["user 42 paid 13.37 ok"] == -1      # not nulled
     assert by_ts["x 2147483647 y 335544.31"] is None  # not -1
     assert by_ts["hash deadbeef42 v1.2.3"] == 1700000000123
+
+
+def test_search_in_4byte_mode(spark):
+    """search_encoded(mode='4byte') must find matches in 4-byte tables —
+    the i64-packed predicate would silently drop them (review fix)."""
+    from fluent_bit_clp_spark.operators.search import search_encoded
+
+    rows = [(i, f"temp {i}.5 ok") for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    enc = clp_encode(df, mode=MODE_4BYTE)
+    hits = search_encoded(enc, "temp 7.5 ok", mode=MODE_4BYTE)
+    assert [r.id for r in hits.collect()] == [7]
+    # big ints classify as dict in 4-byte mode; predicate must follow
+    rows2 = [(i, f"span {9999999999 + i} end") for i in range(50)]
+    enc2 = clp_encode(
+        spark.createDataFrame(rows2, "id int, text string"), mode=MODE_4BYTE
+    )
+    hits2 = search_encoded(enc2, "span 10000000003 end", mode=MODE_4BYTE)
+    assert [r.id for r in hits2.collect()] == [4]

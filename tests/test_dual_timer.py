@@ -212,3 +212,58 @@ def test_stream_dual_timer_sync_composed(spark, tmp_path):
     back = spark.read.parquet(*sync_dirs)
     got = {(r.sink, r.batch_id): r.n_events for r in back.collect()}
     assert got[("a", 0)] == 1 and got[("b", 0)] == 1
+
+
+def test_stream_timeout_fired_batches_monotone_ids(spark, tmp_path):
+    """Timeout-fired flushes keep the per-sink batch counter monotone
+    (review fix: the counter survives in state across fires)."""
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def write_file(name, rows, mtime):
+        p = str(src / name)
+        df = spark.createDataFrame(
+            rows, "sink string, ts_str string, level_id int, n_bytes long"
+        ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        os.utime(p, (mtime, mtime))
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+
+    base = 1000000000
+    # f1: sink-a events; f2: sink-b far ahead (advances watermark → a's
+    # timeout fires); f3: sink-a again; f4: sink-b further ahead (fires
+    # a's second batch)
+    write_file("f1", [("a", "2026-01-01 00:00:00", 0, 1)], base)
+    write_file("f2", [("b", "2026-01-01 00:10:00", 0, 1)], base + 10)
+    write_file("f3", [("a", "2026-01-01 00:20:00", 0, 1)], base + 20)
+    write_file("f4", [("b", "2026-01-01 00:30:00", 0, 1)], base + 30)
+    stream = (
+        spark.readStream.schema(
+            "sink string, level_id int, n_bytes long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    from fluent_bit_clp_spark.streaming.dual_timer import stream_dual_timer_flush
+
+    q = (
+        stream_dual_timer_flush(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.sink, r.batch_id)
+        for r in spark.read.parquet(out).select("sink", "batch_id").collect()
+    )
+    # sink a fired twice via timeout — ids must be 0 then 1, not 0 twice
+    a_ids = [b for s, b in got if s == "a"]
+    assert a_ids == [0, 1], got

@@ -217,3 +217,28 @@ def test_msgpack_to_pipeline_end_to_end(spark, tmp_path):
     assert got == sorted(msgs)
     # level extraction saw 'level=warn' (LEVEL_WARN == 3)
     assert back.where(F.col("level_id") == 3).count() == 20
+
+
+def test_adversarial_deep_nesting_is_malformed_row():
+    """Thousands of nested fixarrays must degrade to one malformed row,
+    not a RecursionError escaping the task (round-2 review fix)."""
+    blob = b"\x91" * 3000 + b"\xc0"
+    assert list(iter_records(blob, "v2")) == [(None, None, True)]
+
+
+def test_uint64_ts_beyond_int64_is_malformed():
+    """A uint64 ts >= 2^63 (legal msgpack) must flag, not overflow the
+    Arrow bigint column."""
+    blob = b"\x92\xcf" + struct.pack(">Q", 1 << 63) + RECORD
+    assert list(iter_records(blob, "v2")) == [(None, RECORD_JSON, True)]
+    # v1 multiply-overflow path too
+    blob = b"\x92\xcf" + struct.pack(">Q", (1 << 62)) + RECORD
+    assert list(iter_records(blob, "v1")) == [(None, RECORD_JSON, True)]
+
+
+def test_bin_typed_map_key_decodes_as_string():
+    """RawToString analogue covers bin-typed keys: b'log' renders as
+    JSON key "log", not "b'log'"."""
+    rec = b"\x81\xc4\x03log\xa5hello"  # {bin8 'log': 'hello'}
+    blob = b"\x92\xcf" + struct.pack(">Q", MS) + rec
+    assert list(iter_records(blob, "v2")) == [(MS, RECORD_JSON, False)]

@@ -266,3 +266,29 @@ def test_observe_ingest_counters(spark, tmp_path, tiny):
     ).collect()[0][0]
     assert ing["num_bytes"] == want_bytes
     assert ing["encode_failures"] >= 1
+
+
+def test_resume_replays_ingest_counters(spark, tmp_path, tiny):
+    """A resumed run returns the SAME ingest counters as the original
+    (persisted with the data-commit marker — review fix)."""
+    out = str(tmp_path / "ing")
+    first = run_to_sinks(spark, tiny, out, "run-i")
+    again = run_to_sinks(spark, tiny, out, "run-i")
+    assert dict(first["ingest"]) == dict(again["ingest"])
+    assert again["ingest"]["num_events"] == tiny.count()
+
+
+def test_offsets_block_turns_mismatch_rejected(spark, tmp_path, tiny):
+    """Passing offsets built at a different block granularity must raise,
+    not silently drop rows in the inner join (review fix)."""
+    from fluent_bit_clp_spark.plans.pipeline import (
+        encode_pipeline,
+        write_block_offsets,
+    )
+
+    src = str(tmp_path / "src2")
+    tiny.write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    offs = write_block_offsets(spark, df, str(tmp_path / "o2"), block_turns=64)
+    with pytest.raises(ValueError, match="block_turns=64"):
+        encode_pipeline(df, spark, block_turns=8192, offsets=offs)
