@@ -572,6 +572,31 @@ def q_a_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, dim=64, k=3, n_planes=4)
 
 
+def q_t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 8-word n-gram with the
+    'benchmark' set (docs 0-4 stand in) are flagged with their overlap
+    count — the standard eval-set leakage pass, broadcast-probe shaped."""
+    from fluent_bit_clp_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.where(F.col("doc_id") < 5)
+    hits = decontaminate(docs, benchmark, keep=False)
+    return hits.select(
+        "doc_id", F.col("n_contaminated_ngrams").cast("bigint").alias("n_hits")
+    )
+
+
+def q_t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 50% of 'en' docs, 10% default —
+    hash-bucket membership, reproducible at any parallelism."""
+    from fluent_bit_clp_spark.operators.curation import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(
+        docs, {"en": 0.5}, "lang", default_rate=0.1
+    ).select("doc_id", "lang")
+
+
 def q_m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing oracle: documents become binary media payloads
     (utf-8 bytes), flow through the production ``extract_features``
@@ -698,6 +723,17 @@ def q_h_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate families: connected components over the verified LSH
+    near-dup pairs (iterative min-label propagation — not expressible as
+    one SQL statement, so rows-only; the algorithm is pinned against a
+    union-find oracle in tests/test_curation.py)."""
+    from fluent_bit_clp_spark.operators.curation import dup_components
+
+    pairs = q_d_lsh_pairs(spark, sf_dir)
+    return dup_components(pairs).orderBy("member")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→encode→enrich→route→chunk pipeline over the
     deterministic transcript table, with sf0.001 documents unioned in as
@@ -768,9 +804,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_media_features": q_m_media_features,
         "a_ivf_cells": q_a_ivf_cells,
         "t_curation": q_t_curation,
-        # rows-only (our own generated transcript table — no DuckDB view)
+        "t_decontaminate": q_t_decontaminate,
+        "t_stratified_sample": q_t_stratified_sample,
+        # rows-only (our own generated transcript table — no DuckDB view;
+        # d_dup_components is iterative label propagation, not one SQL)
         "pipeline_roundtrip_violations": q_pipeline_roundtrip_violations,
         "pipeline_sink_counts": q_pipeline_sink_counts,
+        "d_dup_components": q_d_dup_components,
     }
 
 
@@ -1076,6 +1116,25 @@ def oracle_sql() -> dict[str, str]:
             "select n_name, cast(rank as int) as rank, c_custkey, n_orders "
             "from r join nation n on r.c_nationkey = n.n_nationkey "
             "where rank <= 3"
+        ),
+        "t_decontaminate": (
+            "with w as (select doc_id, regexp_extract_all(lower(text), "
+            "'[a-z0-9]+') as words from documents), "
+            "sh as (select doc_id, case when len(words) < 8 then "
+            "[array_to_string(words, ' ')] else "
+            "list_transform(range(1, len(words) - 6), "
+            "i -> array_to_string(words[i:i+7], ' ')) end as shingles from w), "
+            "u as (select doc_id, unnest(shingles) as sh from sh), "
+            f"h as (select doc_id, {portable_hash_sql('sh', 0)} as probe from u), "
+            "probes as (select distinct probe from h where doc_id < 5), "
+            "select_hits as (select h.doc_id, count(*) as n_hits from h "
+            "join probes using (probe) group by h.doc_id) "
+            "select doc_id, cast(n_hits as bigint) as n_hits from select_hits"
+        ),
+        "t_stratified_sample": (
+            "select doc_id, lang from documents where "
+            "(('0x' || substring(md5('s0:' || cast(doc_id as varchar)), 1, 15))"
+            "::bigint % 10000) < case lang when 'en' then 5000 else 1000 end"
         ),
         "m_media_features": (
             "select cast(doc_id as bigint) as media_id, 'image' as kind, "

@@ -1,0 +1,98 @@
+"""Corpus-curation operators: decontamination, stratified sampling,
+duplicate connected components (operators/curation.py)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.functions.hashing import py_portable_hash64
+from fluent_bit_clp_spark.operators.curation import (
+    SAMPLE_BUCKETS,
+    decontaminate,
+    dup_components,
+    stratified_sample,
+)
+
+BENCH_SENT = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def _corpus(spark):
+    rows = [
+        (0, f"intro text then {BENCH_SENT} and more words follow here"),
+        (1, "a completely unrelated document about spark pipelines and joins"),
+        (2, f"prefix {BENCH_SENT.upper()} suffix words"),  # case-folded match
+        (3, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    corpus = _corpus(spark)
+    benchmark = spark.createDataFrame(
+        [(100, f"benchmark question: {BENCH_SENT} answer choices")],
+        "doc_id int, text string",
+    )
+    flagged = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in decontaminate(corpus, benchmark, keep=False).collect()
+    }
+    assert 0 in flagged and 2 in flagged  # both contain the 10-word overlap
+    assert 1 not in flagged and 3 not in flagged
+    clean = decontaminate(corpus, benchmark, keep=True)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 3]
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(3000)]
+    df2 = spark.createDataFrame(rows, "doc_id int, lang string").repartition(2)
+    df8 = spark.createDataFrame(rows, "doc_id int, lang string").repartition(8)
+    rates = {"en": 0.5, "de": 0.1}
+    a = sorted(r.doc_id for r in stratified_sample(df2, rates, "lang").collect())
+    b = sorted(r.doc_id for r in stratified_sample(df8, rates, "lang").collect())
+    assert a == b  # parallelism-invariant
+    # exact membership = the hash-bucket rule, verified per-row in Python
+    for i, lang in rows:
+        bucket = py_portable_hash64(str(i)) % SAMPLE_BUCKETS
+        want = bucket < int(rates[lang] * SAMPLE_BUCKETS)
+        assert (i in a) == want, (i, lang, bucket)
+
+
+def test_dup_components_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = set()
+    while len(edges) < 80:
+        u, v = rng.sample(nodes, 2)
+        edges.add((min(u, v), max(u, v)))
+    pairs = spark.createDataFrame(sorted(edges), "id_a int, id_b int")
+    got = {
+        r.member: r.canonical for r in dup_components(pairs).collect()
+    }
+
+    # independent union-find oracle
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    touched = {u for e in edges for u in e}
+    want = {n: comp_min[find(n)] for n in touched}
+    assert got == want
+
+
+def test_dup_components_transitive_family(spark):
+    # a~b, b~c (no a~c pair): the family must still collapse to min id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    got = {r.member: r.canonical for r in dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
