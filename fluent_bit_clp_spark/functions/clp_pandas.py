@@ -244,9 +244,9 @@ def _decode_one(logtype, kinds, encoded, dicts, mode: str = MODE_I64) -> str | N
         parts = [pieces[0]]
         for i, k in enumerate(kinds):
             if k == KIND_INT:
-                parts.append(str(encoded[i]))
+                parts.append(str(int(encoded[i])))
             elif k == KIND_FLOAT:
-                parts.append(unpack(encoded[i]))
+                parts.append(unpack(int(encoded[i])))
             else:
                 parts.append(dicts[i])
             parts.append(pieces[i + 1])
@@ -292,12 +292,16 @@ def clp_encode_pandas(
 def clp_decode_pandas(
     df: DataFrame, out_col: str = "decoded_text", mode: str = MODE_I64
 ) -> DataFrame:
+    # null-free i64 arrays: Arrow→pandas turns array<bigint>-with-nulls
+    # into float64, corrupting packed values > 2^53 and breaking bit ops.
+    # Dict positions never read the value (kind gates it) — 0 is safe.
+    enc_nn = F.expr("transform(encoded_vars, x -> coalesce(x, 0L))")
     return df.withColumn(
         out_col,
         clp_decode_udf(mode)(
             F.col("logtype"),
             F.col("var_kinds"),
-            F.col("encoded_vars"),
+            enc_nn,
             F.col("dict_vars"),
         ),
     )

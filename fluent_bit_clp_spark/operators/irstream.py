@@ -153,6 +153,38 @@ def write_ir_chunks(encoded: DataFrame, encoding: str = "i64") -> DataFrame:
     )
 
 
+EVENT_SCHEMA = (
+    "sink string, chunk_id bigint, event_idx bigint, ts_ms bigint, "
+    "logtype string, var_kinds array<int>, encoded_vars array<bigint>, "
+    "dict_vars array<string>"
+)
+
+
+def read_ir_chunks_df(chunks: DataFrame) -> DataFrame:
+    """Inverse of :func:`write_ir_chunks` as a DataFrame op: IR blobs →
+    one row per event (what a downstream CLP-style reader/log-viewer
+    consumes).  ``mapInPandas`` — each blob decodes independently, one
+    task per batch of chunk rows, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for sink, chunk_id, blob in zip(
+                pdf["sink"], pdf["chunk_id"], pdf["ir_zstd"]
+            ):
+                for i, ev in enumerate(read_ir_chunk(bytes(blob))):
+                    rows.append((
+                        sink, chunk_id, i, ev["ts_ms"], ev["logtype"],
+                        ev["var_kinds"], ev["encoded_vars"], ev["dict_vars"],
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "sink", "chunk_id", "event_idx", "ts_ms", "logtype",
+                "var_kinds", "encoded_vars", "dict_vars",
+            ])
+
+    return chunks.mapInPandas(run, EVENT_SCHEMA)
+
+
 def read_ir_chunk(blob: bytes) -> list[dict]:
     """Inverse of the serializer — used by the round-trip tests."""
     raw = _decompress(blob)

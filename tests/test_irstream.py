@@ -39,3 +39,20 @@ def test_ir_chunks_one_per_sink_chunk(spark):
         per_sink.setdefault(r.sink, []).append(r.chunk_id)
     for sink, ids in per_sink.items():
         assert sorted(ids) == list(range(len(ids))), sink
+
+
+def test_read_ir_chunks_df_roundtrip(spark):
+    """The DataFrame-level IR reader (consumer surface) reproduces every
+    event; decode of the read-back equals the original text."""
+    from fluent_bit_clp_spark.operators.irstream import read_ir_chunks_df
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_decode_pandas
+
+    df = transcripts(spark, 300, with_edge_rows=False)
+    enc = encode_pipeline(df, spark)
+    blobs = write_ir_chunks(enc)
+    events = read_ir_chunks_df(blobs)
+    assert events.count() == enc.count()
+    dec = clp_decode_pandas(events, "t")
+    got = sorted(r.t for r in dec.select("t").collect())
+    want = sorted(r.text for r in df.select("text").collect())
+    assert got == want
