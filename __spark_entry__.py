@@ -351,6 +351,21 @@ def q_r1_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink event rates over 5-minute tumbling windows — the standard
+    log-analytics rollup consumers run on the routed output (epoch-aligned
+    floor buckets, portable to any SQL engine)."""
+    ev = _events(spark, sf_dir)
+    bucket = F.floor(
+        F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(300_000)
+    )
+    return (
+        ev.select(_sink_col(), bucket.alias("window_id"))
+        .groupBy("sink", "window_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def q_k1_sink_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1/R3: per-sink upload-object inventory (monotone chunk counter)."""
     return (
@@ -783,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_encode_4byte": q_e1_encode_4byte,
         "e3_chunk_stats": q_e3_chunk_stats,
         "r1_route_counts": q_r1_route_counts,
+        "r_window_rates": q_r_window_rates,
         "k1_sink_chunks": q_k1_sink_chunks,
         "t_token_counts": q_t_token_counts,
         "t_quality": q_t_quality,
@@ -952,6 +968,11 @@ def oracle_sql() -> dict[str, str]:
         "r1_route_counts": (
             f"select {_SINK_CASE_SQL} as sink, count(*) as routed_rows "
             "from events group by 1"
+        ),
+        "r_window_rates": (
+            f"select {_SINK_CASE_SQL} as sink, "
+            "cast(floor(epoch_ms(ts) / 300000) as bigint) as window_id, "
+            "count(*) as n_events from events group by 1, 2"
         ),
         "k1_sink_chunks": (
             "with sized as (select event_id, event_type, "

@@ -71,6 +71,33 @@ def compact_logtype_dict(encoded: DataFrame, zones: int = DEFAULT_ZONES) -> Data
     return lt.join(ranked, "logtype").select("logtype_id", "logtype", "dense_id")
 
 
+def extend_dense_ids(
+    existing: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    id_col: str = "dense_id",
+    zones: int = DEFAULT_ZONES,
+) -> DataFrame:
+    """Incremental dictionary evolution: keep every existing (key → id)
+    assignment VERBATIM, and append ids for unseen keys starting at
+    max(existing)+1 (rank-by-zone over the new keys only).
+
+    This is the cross-run dictionary-merge contract a long-lived pipeline
+    needs: ids already written into sink data never change, new runs only
+    ever extend the mapping — so old IR data and new IR data share one
+    dictionary.  Deterministic given (existing, new batch).
+    """
+    new_keys = keys.select(key_col).distinct().join(
+        existing.select(key_col), key_col, "left_anti"
+    )
+    base_row = existing.agg(F.max(id_col).alias("m")).collect()[0]
+    base = base_row["m"] or 0
+    appended = dense_ids(new_keys, key_col, id_col, zones).withColumn(
+        id_col, (F.col(id_col) + F.lit(base)).cast("bigint")
+    )
+    return existing.select(key_col, id_col).unionByName(appended)
+
+
 def compact_var_dict(encoded: DataFrame, zones: int = DEFAULT_ZONES) -> DataFrame:
     """Offline dense remap for the dictionary-variable dictionary."""
     v = (

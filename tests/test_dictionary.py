@@ -91,3 +91,28 @@ def test_exact_dedup_groups_capped(spark):
     g = out[0]
     assert g.n_dups == 500
     assert g.doc_ids == list(range(10))
+
+
+def test_extend_dense_ids_preserves_and_appends(spark):
+    """Cross-run dictionary evolution: existing ids stay verbatim, unseen
+    keys append after max(existing), deterministically."""
+    from fluent_bit_clp_spark.operators.dictionary import extend_dense_ids
+
+    run1 = spark.createDataFrame(
+        [(f"k{i:03d}",) for i in range(100)], "k string"
+    )
+    d1 = dense_ids(run1, "k")
+    run2 = spark.createDataFrame(
+        [(f"k{i:03d}",) for i in range(50, 150)], "k string"  # 50 overlap
+    )
+    d2 = extend_dense_ids(d1, run2, "k")
+    m1 = {r.k: r.dense_id for r in d1.collect()}
+    m2 = {r.k: r.dense_id for r in d2.collect()}
+    for k, v in m1.items():
+        assert m2[k] == v, k  # old assignments untouched
+    new = {k: v for k, v in m2.items() if k not in m1}
+    assert len(new) == 50
+    assert sorted(new.values()) == list(range(101, 151))  # appended after max
+    # idempotent: extending again with the same batch changes nothing
+    d3 = extend_dense_ids(d2, run2, "k")
+    assert {r.k: r.dense_id for r in d3.collect()} == m2
