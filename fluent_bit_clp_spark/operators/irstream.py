@@ -74,8 +74,30 @@ _ENC_BY_NAME = {"i64": ENC_I64, "4byte": ENC_4BYTE}
 
 CHUNK_SCHEMA = (
     "sink string, chunk_id bigint, n_events bigint, n_bytes_raw bigint, "
-    "n_bytes_compressed bigint, ir_zstd binary"
+    "n_bytes_compressed bigint, first_ts_ms bigint, object_key string, "
+    "ir_zstd binary"
 )
+
+
+def _object_key(sink: str, chunk_id: int, first_ts_ms, blob: bytes) -> str:
+    """Deterministic upload key mirroring the reference's
+    ``{tag}_{index}_{RFC3339}_{id}.zst`` naming
+    (`internal/outctx/manager.go:86-90`) — with the wall-clock timestamp
+    replaced by the chunk's first event time and the random upload id by a
+    content-hash prefix, so re-runs produce identical keys (idempotent
+    re-PUT).  Extension reflects the actual codec (.zst or .zlib)."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    if first_ts_ms is None:
+        stamp = "unknown-time"
+    else:
+        stamp = (
+            datetime.fromtimestamp(first_ts_ms / 1000.0, tz=timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ")
+        )
+    cid = hashlib.md5(blob).hexdigest()[:8]
+    return f"{sink}_{chunk_id}_{stamp}_{cid}.{CODEC}"
 
 
 def _ser_event(ts_ms, logtype: str, kinds, encs, dicts, enc: int) -> bytes:
@@ -116,13 +138,19 @@ def _serialize_group(pdf: pd.DataFrame, enc: int) -> pd.DataFrame:
     buf.append(struct.pack("<B", EOS))
     raw = b"".join(buf)
     comp = _compress(raw)
+    sink = pdf["sink"].iloc[0]
+    chunk_id = pdf["chunk_id"].iloc[0]
+    ts_valid = pdf["ts_ms"].dropna()
+    first_ts = None if ts_valid.empty else int(ts_valid.min())
     return pd.DataFrame(
         {
-            "sink": [pdf["sink"].iloc[0]],
-            "chunk_id": [pdf["chunk_id"].iloc[0]],
+            "sink": [sink],
+            "chunk_id": [chunk_id],
             "n_events": [len(pdf)],
             "n_bytes_raw": [len(raw)],
             "n_bytes_compressed": [len(comp)],
+            "first_ts_ms": [first_ts],
+            "object_key": [_object_key(sink, chunk_id, first_ts, comp)],
             "ir_zstd": [comp],
         }
     )

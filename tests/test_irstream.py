@@ -56,3 +56,25 @@ def test_read_ir_chunks_df_roundtrip(spark):
     got = sorted(r.t for r in dec.select("t").collect())
     want = sorted(r.text for r in df.select("text").collect())
     assert got == want
+
+
+def test_object_key_naming(spark):
+    """Upload keys mirror the reference's {tag}_{index}_{time}_{id} naming
+    deterministically (content-derived id, first-event time)."""
+    import re
+
+    df = transcripts(spark, 200, with_edge_rows=False)
+    enc = encode_pipeline(df, spark)
+    chunks = write_ir_chunks(enc).collect()
+    pat = re.compile(
+        r"^(?P<sink>.+)_(?P<idx>\d+)_\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"
+        r"_[0-9a-f]{8}[.](zst|zlib)$"
+    )
+    for c in chunks:
+        m = pat.match(c.object_key)
+        assert m, c.object_key
+        assert m.group("sink") == c.sink
+        assert int(m.group("idx")) == c.chunk_id
+    # deterministic: a second materialization produces identical keys
+    again = {c.object_key for c in write_ir_chunks(enc).collect()}
+    assert again == {c.object_key for c in chunks}
