@@ -554,6 +554,24 @@ def q_pipeline_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("conv_id", "turn_idx", "text", "decoded_text")
 
 
+def q_pipeline_roundtrip_violations_4byte(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Encode→decode byte-equality with the CLP FourByteEncoding-parity
+    mode (out-of-range values fall back to dictionary vars, so the
+    round-trip must STILL be lossless); MUST return 0 rows."""
+    df = transcripts(spark, 2000)
+    enc = encode_pipeline(df, spark, encoding_mode="4byte").withColumn(
+        "decoded_text", clp_decode_column(mode="4byte")
+    )
+    return enc.where(
+        ~(
+            (F.col("text") == F.col("decoded_text"))
+            | (F.col("text").isNull() & F.col("decoded_text").isNull())
+        )
+    ).select("conv_id", "turn_idx", "text", "decoded_text")
+
+
 def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink routed-row counts over the transcript pipeline."""
     df = transcripts(spark, 2000)
@@ -834,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (our own generated transcript table — no DuckDB view;
         # d_dup_components is iterative label propagation, not one SQL)
         "pipeline_roundtrip_violations": q_pipeline_roundtrip_violations,
+        "pipeline_roundtrip_violations_4byte": q_pipeline_roundtrip_violations_4byte,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "d_dup_components": q_d_dup_components,
     }

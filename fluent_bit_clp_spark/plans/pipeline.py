@@ -128,6 +128,7 @@ def encode_pipeline(
     bin_bytes: int = IR_BIN_BYTES,
     block_turns: int = DEFAULT_BLOCK_TURNS,
     offsets: DataFrame | None = None,
+    encoding_mode: str = "i64",
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → encoded turns.
 
@@ -161,7 +162,7 @@ def encode_pipeline(
         block_turns=block_turns,
         offsets=offsets,
     )
-    out = clp_encode_pandas(out, "text")
+    out = clp_encode_pandas(out, "text", mode=encoding_mode)
     return out
 
 
@@ -191,6 +192,7 @@ def run_to_sinks(
     chunk_bytes = cfg.chunk_bytes if cfg is not None else CHUNK_BYTES
     bin_bytes = cfg.ir_bin_bytes if cfg is not None else IR_BIN_BYTES
     block_turns = cfg.block_turns if cfg is not None else DEFAULT_BLOCK_TURNS
+    encoding_mode = cfg.encoding_mode if cfg is not None else "i64"
 
     sinks_path = os.path.join(out_dir, "sinks")
     done = lineage.committed_sinks(out_dir, run_id)
@@ -214,6 +216,7 @@ def run_to_sinks(
             bin_bytes=bin_bytes,
             block_turns=block_turns,
             offsets=offsets,
+            encoding_mode=encoding_mode,
         )
         encoded = encoded.withColumn(
             "encode_failed", F.col("text").isNull() | F.col("ts").isNull()

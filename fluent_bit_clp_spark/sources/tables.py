@@ -65,6 +65,8 @@ class JobConfig:
     timezone: str = "America/Toronto"    # config.go:35,62
     ir_bin_bytes: int = 2 << 20          # irzstd/disk.go:16-17
     block_turns: int = 8192
+    encoding_mode: str = "i64"           # "4byte" = CLP FourByteEncoding
+                                         # parity (ingestion.go:66-67)
     long_text_bytes: int = 16384
     errors: list[str] = field(default_factory=list, repr=False)
 
@@ -82,6 +84,8 @@ class JobConfig:
             errs.append("block_turns: must be positive")
         if self.use_single_key and not self.single_key:
             errs.append("single_key: required when use_single_key")
+        if self.encoding_mode not in ("i64", "4byte"):
+            errs.append("encoding_mode: must be 'i64' or '4byte'")
         if errs:
             raise ValueError("; ".join(errs))  # joined errors, config.go:144-147
         return self

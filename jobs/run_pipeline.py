@@ -40,6 +40,13 @@ def main() -> None:
         "message extraction, routed as one stream per chunk file)",
     )
     ap.add_argument("--ts-mode", choices=["v1", "v2"], default="v2")
+    ap.add_argument(
+        "--encoding",
+        choices=["i64", "4byte"],
+        default="i64",
+        help="'4byte': CLP FourByteEncoding parity (int32 ints, 32-bit "
+        "float property words; out-of-range values become dictionary vars)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,6 +60,7 @@ def main() -> None:
         run_id=args.run_id,
         upload_size_mb=args.upload_size_mb,
         block_turns=args.block_turns,
+        encoding_mode=args.encoding,
     ).validate()
 
     spark = SparkSession.builder.appName("clp-transcript-pipeline").getOrCreate()

@@ -292,3 +292,34 @@ def test_offsets_block_turns_mismatch_rejected(spark, tmp_path, tiny):
     offs = write_block_offsets(spark, df, str(tmp_path / "o2"), block_turns=64)
     with pytest.raises(ValueError, match="block_turns=64"):
         encode_pipeline(df, spark, block_turns=8192, offsets=offs)
+
+
+def test_run_to_sinks_4byte_mode(spark, tmp_path, tiny):
+    """encoding_mode='4byte' flows cfg→pipeline→sink: encoded values fit
+    four bytes and the written output decodes back to the input text."""
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_decode_pandas
+    from fluent_bit_clp_spark.sources.tables import JobConfig
+
+    cfg = JobConfig(
+        input_path="x", output_dir="y", encoding_mode="4byte"
+    ).validate()
+    out = str(tmp_path / "fb")
+    run_to_sinks(spark, tiny, out, "run-4b", cfg=cfg)
+    back = spark.read.parquet(os.path.join(out, "sinks"))
+    # every encoded value fits in 4 bytes (u32 for floats, i32 for ints)
+    mx = back.select(
+        F.max(F.expr(
+            "aggregate(zip_with(var_kinds, encoded_vars, (k, v) -> "
+            "case when k = 0 then abs(v) when k = 1 then v else 0L end), "
+            "0L, (a, b) -> greatest(a, b))"
+        )).alias("m")
+    ).collect()[0]["m"]
+    assert mx < (1 << 32)
+    dec = clp_decode_pandas(back, "t", mode="4byte")
+    inp = tiny.select("conv_id", "turn_idx", F.col("text").alias("orig"))
+    j = dec.join(inp, ["conv_id", "turn_idx"])
+    bad = j.where(
+        ~((F.col("t") == F.col("orig"))
+          | (F.col("t").isNull() & F.col("orig").isNull()))
+    ).count()
+    assert bad == 0
