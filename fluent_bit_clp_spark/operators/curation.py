@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fluent_bit_clp_spark.functions.hashing import portable_hash64
-from fluent_bit_clp_spark.operators.dedup import with_shingles
+from fluent_bit_clp_spark.operators.dedup import exploded_shingles
 
 SAMPLE_BUCKETS = 10_000
 
@@ -33,9 +33,7 @@ def benchmark_shingle_hashes(
 ) -> DataFrame:
     """Distinct hashed word n-grams of the benchmark set (the contamination
     probes).  Small side — broadcast it."""
-    sh = with_shingles(benchmark, text_col, n).select(
-        F.explode("shingles").alias("sh")
-    )
+    sh = exploded_shingles(benchmark, [], text_col, n)
     return sh.select(portable_hash64(F.col("sh")).alias("probe")).distinct()
 
 
@@ -54,9 +52,7 @@ def decontaminate(
     returns the contaminated doc ids with their matching probe count.
     """
     probes = F.broadcast(benchmark_shingle_hashes(benchmark, text_col, n))
-    sh = with_shingles(corpus, text_col, n).select(
-        F.col(id_col), F.explode("shingles").alias("sh")
-    )
+    sh = exploded_shingles(corpus, [id_col], text_col, n)
     hits = (
         sh.select(id_col, portable_hash64(F.col("sh")).alias("probe"))
         .join(probes, "probe")

@@ -80,6 +80,25 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     )
 
 
+def exploded_shingles(
+    df: DataFrame, id_cols: list[str], text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """One row per (ids, shingle) — via ``explode_outer`` + post-filter.
+
+    Plain ``explode`` over a UDF column makes Spark push the generator's
+    implicit ``size(arr) > 0 AND isnotnull(arr)`` pre-filter BELOW the
+    projection, re-evaluating the Arrow UDF once for the filter and once
+    for the generator (two ArrowEvalPython nodes — measured).
+    ``explode_outer`` needs no pre-filter, so the UDF runs exactly once;
+    the cheap null filter runs after the generate.
+    """
+    return (
+        with_shingles(df, text_col, n)
+        .select(*id_cols, F.explode_outer("shingles").alias("sh"))
+        .where(F.col("sh").isNotNull())
+    )
+
+
 def exact_dedup_groups(
     df: DataFrame, id_col: str, text_col: str = "text", max_ids: int = 100
 ) -> DataFrame:
@@ -132,7 +151,7 @@ def minhash_signatures(
     """k min-hashes over word 3-gram shingles, fully native:
     explode → per-seed portable hash → groupBy-min (map-side partial agg).
     Oracle-checked against DuckDB (query d_minhash_sigs)."""
-    sh = with_shingles(df, text_col).select(id_col, F.explode("shingles").alias("sh"))
+    sh = exploded_shingles(df, [id_col], text_col)
     aggs = [
         F.min(portable_hash64(F.col("sh"), seed)).alias(f"mh{seed}")
         for seed in range(k)
@@ -244,7 +263,12 @@ def simhash(
     Bit extraction is ``shiftright & 1`` (ADVICE r1: the old
     ``div``-then-``%`` returned -1/0 on negative hashes, biasing votes);
     the portable hash is non-negative by construction anyway."""
-    words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+    # explode_outer + post-filter: plain explode pushes its pre-filter
+    # below the projection and re-runs the tokenizer regex (see
+    # exploded_shingles)
+    words = df.select(
+        F.col(id_col), F.explode_outer(_words(text_col)).alias("w")
+    ).where(F.col("w").isNotNull())
     hashed = words.select(id_col, portable_hash64(F.col("w")).alias("h"))
     bit_votes = hashed.select(
         id_col,
