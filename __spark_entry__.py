@@ -541,17 +541,25 @@ def q_a_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- transcript-pipeline queries (our generated table; rows-only checks) ---
 
 
-def q_pipeline_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode→decode byte-equality over the synthetic transcript table;
-    MUST return 0 rows (the reference's round-trip contract)."""
+def _roundtrip_violations(spark: SparkSession, mode: str) -> DataFrame:
+    """Shared encode→decode byte-equality gate (one predicate for both
+    encoding modes so the two gates cannot silently diverge)."""
     df = transcripts(spark, 2000)
-    enc = encode_pipeline(df, spark).withColumn("decoded_text", clp_decode_column())
+    enc = encode_pipeline(df, spark, encoding_mode=mode).withColumn(
+        "decoded_text", clp_decode_column(mode=mode)
+    )
     return enc.where(
         ~(
             (F.col("text") == F.col("decoded_text"))
             | (F.col("text").isNull() & F.col("decoded_text").isNull())
         )
     ).select("conv_id", "turn_idx", "text", "decoded_text")
+
+
+def q_pipeline_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode byte-equality over the synthetic transcript table;
+    MUST return 0 rows (the reference's round-trip contract)."""
+    return _roundtrip_violations(spark, "i64")
 
 
 def q_pipeline_roundtrip_violations_4byte(
@@ -560,16 +568,7 @@ def q_pipeline_roundtrip_violations_4byte(
     """Encode→decode byte-equality with the CLP FourByteEncoding-parity
     mode (out-of-range values fall back to dictionary vars, so the
     round-trip must STILL be lossless); MUST return 0 rows."""
-    df = transcripts(spark, 2000)
-    enc = encode_pipeline(df, spark, encoding_mode="4byte").withColumn(
-        "decoded_text", clp_decode_column(mode="4byte")
-    )
-    return enc.where(
-        ~(
-            (F.col("text") == F.col("decoded_text"))
-            | (F.col("text").isNull() & F.col("decoded_text").isNull())
-        )
-    ).select("conv_id", "turn_idx", "text", "decoded_text")
+    return _roundtrip_violations(spark, "4byte")
 
 
 def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,16 +98,17 @@ def dup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 20,
+    max_iters: int = 50,
 ) -> DataFrame:
     """Connected components over duplicate pairs → (member, canonical).
 
     Min-label propagation: every node repeatedly adopts the smallest
-    label among itself and its neighbors; converges in O(log diameter)
-    rounds for near-dup graphs (components are small cliques-ish by
-    construction — LSH families).  Each round is one join + groupBy-min
-    on uniform hash keys.  Raises if not converged within ``max_iters``
-    (pathological chain — raise the bound).
+    label among itself and its neighbors.  Convergence is O(component
+    diameter) rounds — near-dup families are cliques-ish (LSH surfaces
+    most pairs directly), so diameters are small in practice; a
+    pathological 50+-hop edit chain raises rather than silently
+    under-merging (switch to large-star/small-star if that ever bites).
+    Each round is one join + groupBy-min on uniform hash keys.
 
     Canonical member = the component's minimum id, matching
     ``minhash_dedup``'s keep-min policy.
@@ -116,6 +117,10 @@ def dup_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
+        # materialize once: the loop re-reads edges every round, and the
+        # upstream pairs plan (minhash → banding → Jaccard) must not
+        # re-execute per iteration
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("node"))

@@ -97,7 +97,8 @@ def _object_key(sink: str, chunk_id: int, first_ts_ms, blob: bytes) -> str:
             .strftime("%Y-%m-%dT%H:%M:%SZ")
         )
     cid = hashlib.md5(blob).hexdigest()[:8]
-    return f"{sink}_{chunk_id}_{stamp}_{cid}.{CODEC}"
+    ext = "zst" if CODEC == "zstd" else CODEC  # reference uses .zst
+    return f"{sink}_{chunk_id}_{stamp}_{cid}.{ext}"
 
 
 def _ser_event(ts_ms, logtype: str, kinds, encs, dicts, enc: int) -> bytes:

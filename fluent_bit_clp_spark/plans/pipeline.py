@@ -200,6 +200,16 @@ def run_to_sinks(
         # resumed run: replay the counters persisted with the data commit
         # so the returned result matches the uninterrupted run exactly
         ingest = lineage.read_data_marker(out_dir, run_id)
+        committed_mode = ingest.get("encoding_mode", "i64")
+        if committed_mode != encoding_mode:
+            # unlike a stale chunk size (still-valid data), a stale
+            # encoding makes the committed bytes undecodable under the
+            # requested mode — refuse rather than serve corrupt decodes
+            raise ValueError(
+                f"run '{run_id}' committed data with encoding_mode="
+                f"{committed_mode!r}; resume requested {encoding_mode!r} — "
+                "use a new run_id/output for a different encoding"
+            )
     else:
         # Phase 0: narrow offsets job (route key + byte sizes only).
         offsets = write_block_offsets(
@@ -233,7 +243,7 @@ def run_to_sinks(
             .partitionBy("sink")
             .parquet(sinks_path)
         )
-        ingest = obs.get
+        ingest = {**obs.get, "encoding_mode": encoding_mode}
         lineage.mark_data_committed(out_dir, run_id, ingest)
     # Phase 2: per-sink manifests from the committed output (narrow read).
     written_tbl = spark.read.parquet(sinks_path)

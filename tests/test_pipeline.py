@@ -323,3 +323,17 @@ def test_run_to_sinks_4byte_mode(spark, tmp_path, tiny):
           | (F.col("t").isNull() & F.col("orig").isNull()))
     ).count()
     assert bad == 0
+
+
+def test_resume_rejects_changed_encoding(spark, tmp_path, tiny):
+    """Resuming a committed run with a different encoding_mode must raise
+    (stale encoding = undecodable bytes), not silently serve old data."""
+    from fluent_bit_clp_spark.sources.tables import JobConfig
+
+    out = str(tmp_path / "enc")
+    run_to_sinks(spark, tiny, out, "run-e")
+    cfg4 = JobConfig(
+        input_path="x", output_dir="y", encoding_mode="4byte"
+    ).validate()
+    with pytest.raises(ValueError, match="encoding_mode"):
+        run_to_sinks(spark, tiny, out, "run-e", cfg=cfg4)
