@@ -176,6 +176,44 @@ def q_s1_msgpack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s1_msgpack_v1_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P2: the v1 plugin's uint64-SECONDS wire form
+    (flush.go:122-134 `time.Unix(t, 0)`): events are packed with
+    second-granularity uint64 timestamps and decoded in v1 mode — decoded
+    ts_ms must equal the second-floored source timestamp."""
+    import pandas as pd
+
+    from fluent_bit_clp_spark.sources.msgpack import (
+        decode_msgpack_chunks,
+        encode_record,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.pmod(F.col("event_id"), F.lit(16)).alias("bucket"),
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        blob = b"".join(
+            encode_record(int(t), {"event_id": int(e)}, "v1_uint_s")
+            for e, t in zip(pdf["event_id"], pdf["ts_ms"])
+        )
+        return pd.DataFrame(
+            {"src": [f"c{int(pdf['bucket'].iloc[0])}"], "content": [blob]}
+        )
+
+    chunks = ev.groupBy("bucket").applyInPandas(enc, "src string, content binary")
+    dec = decode_msgpack_chunks(chunks, "v1")
+    return dec.select(
+        F.get_json_object("record_json", "$.event_id")
+        .cast("bigint")
+        .alias("event_id"),
+        F.col("ts_ms").alias("ts_ms_seconds_floor"),
+    )
+
+
 def q_p1_ts_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2: timestamp normalization to Unix millis."""
     return (
@@ -809,6 +847,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_msgpack_decode": q_s1_msgpack_decode,
+        "s1_msgpack_v1_seconds": q_s1_msgpack_v1_seconds,
         "s2_scan_project": q_s2_scan_project,
         "p1_ts_millis": q_p1_ts_millis,
         "p3_json_parse": q_p3_json_parse,
@@ -901,6 +940,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "s1_msgpack_decode": (
             "select event_id, epoch_ms(ts) as ts_ms, props as msg from events"
+        ),
+        "s1_msgpack_v1_seconds": (
+            "select event_id, (epoch_ms(ts) // 1000) * 1000 "
+            "as ts_ms_seconds_floor from events"
         ),
         "s2_scan_project": (
             "select event_id, user_id, cast(length(props) as bigint) as props_len "
