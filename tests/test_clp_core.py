@@ -163,3 +163,55 @@ def test_python_xxh64_matches_spark(spark):
     got = {r.s: r.h for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
     for s in samples:
         assert _xxh64_str(s) == got[s], repr(s)
+
+
+def test_adversarial_texts_full_stack(spark):
+    """Escape/placeholder bytes (0x10/0x11), unicode, int64-boundary and
+    deep-float tokens survive the FULL stack — encode → IR wire →
+    read-back → decode — byte-exactly in both encoding modes, and search
+    still finds exact matches among them."""
+    from fluent_bit_clp_spark.functions.clp_pandas import (
+        _decode_one,
+        clp_encode_pandas,
+    )
+    from fluent_bit_clp_spark.operators.irstream import (
+        read_ir_chunk,
+        write_ir_chunks,
+    )
+    from fluent_bit_clp_spark.operators.search import search_encoded
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+
+    texts = [
+        "plain \x11 placeholder byte",
+        "escape \x10 byte and pair \x10\x11 mixed",
+        "\x11\x10\x11 leading control run v2.0",
+        "unicode wörld 🚀 42 tømt 13.37",
+        "int64 edges 9223372036854775807 -9223372036854775808 9223372036854775808",
+        "floats 0.00000000000001 99999999999999.0 1.5e3",
+        "x" * 500 + " 123 " + "\x11" * 5,
+    ]
+    rows = [(f"c{i}", 0, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    ).withColumn("sink", F.lit("s")).withColumn("chunk_id", F.lit(0)).withColumn(
+        "ts_ms", F.lit(1_700_000_000_000)
+    )
+    for mode in ("i64", "4byte"):
+        enc = clp_encode_pandas(df, mode=mode)
+        blobs = write_ir_chunks(
+            enc, encoding="4byte" if mode == "4byte" else "i64"
+        ).collect()
+        decoded = []
+        for c in blobs:
+            for ev in read_ir_chunk(bytes(c.ir_zstd)):
+                decoded.append(_decode_one(
+                    ev["logtype"], ev["var_kinds"], ev["encoded_vars"],
+                    ev["dict_vars"], mode,
+                ))
+        assert sorted(decoded) == sorted(texts), mode
+    # search across the adversarial corpus (i64 table)
+    enc = clp_encode(df.drop("sink", "chunk_id", "ts_ms"))
+    hits = search_encoded(enc, "unicode * 42 * 13.37")
+    assert [r.conv_id for r in hits.collect()] == ["c3"]
+    hits2 = search_encoded(enc, "plain * placeholder byte")
+    assert [r.conv_id for r in hits2.collect()] == ["c0"]
