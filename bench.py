@@ -44,6 +44,32 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+def msgpack_mb_per_s_core(n_records: int = 20_000, reps: int = 4) -> float:
+    """Single-core msgpack ingest ceiling (VERDICT r2 #4): MB/s through
+    iter_records (wire decode + JSON marshal) on a realistic multi-MB
+    Fluent Bit chunk.  Pure Python, no Spark — multiply by executor cores
+    for the cluster ingest ceiling (chunks are the unit of parallelism)."""
+    import time as _t
+
+    from fluent_bit_clp_spark.sources.msgpack import encode_record, iter_records
+
+    recs = []
+    for i in range(n_records):
+        recs.append(encode_record(1_700_000_000_000 + i, {
+            "log": f"level=info user u{i % 97} fetched /api/v1/items/{i} "
+                   f"in {i % 345}.{i % 10} ms",
+            "file_path": f"/var/log/app/{i % 7}.log", "k": i % 100,
+        }))
+    blob = b"".join(recs)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        n = sum(1 for _ in iter_records(blob, "v2"))
+        best = min(best, _t.perf_counter() - t0)
+    assert n == n_records
+    return round(len(blob) / 1048576 / best, 1)
+
+
 def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
@@ -78,6 +104,18 @@ def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
             sink_writer(enc)
 
         pipeline_once(lambda enc: enc.write.mode("overwrite").format("noop").save())
+        # compute-only legs (noop sink) separate the plan's cost from this
+        # box's single local disk (VERDICT r2 #9: make r-over-r deltas
+        # attributable to code, not disk neighbors); the headline keeps the
+        # parquet sink for round-over-round continuity.
+        noop_sec = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            pipeline_once(
+                lambda enc: enc.write.mode("overwrite").format("noop").save()
+            )
+            el = time.monotonic() - t0
+            noop_sec = el if noop_sec is None else min(noop_sec, el)
         headline_sec = None
         for _ in range(3):
             t0 = time.monotonic()
@@ -125,6 +163,10 @@ def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
             "sf": sf,
             "turns": n_rows,
             "turns_per_sec": round(n_rows / headline_sec, 1),
+            "compute_only_sec": round(noop_sec, 3),
+            "turns_per_sec_compute": round(n_rows / noop_sec, 1),
+            "sink_write_sec": round(max(headline_sec - noop_sec, 0.0), 3),
+            "msgpack_mb_per_s_core": msgpack_mb_per_s_core(),
             "cpus": cpus,
         }
     finally:
@@ -172,10 +214,21 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32),
     try:
         for _ in range(rounds):
             for cpus in levels:
+                # CPU-pin each leg to exactly `cpus` cores (VERDICT r2 #9):
+                # unpinned, a local[2] JVM still spreads GC/IO/Python-worker
+                # threads over all 32 host cores, overstating the low leg
+                # and understating scaling efficiency; pinning makes
+                # local[N] a true N-core measurement.
+                pin = (
+                    ["taskset", "-c", f"0-{cpus - 1}"]
+                    if shutil.which("taskset") and cpus < (os.cpu_count() or cpus)
+                    else []
+                )
                 out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
-                     "--sf-dir", sf_dir, "--headline-only", "--turns", str(turns),
-                     "--input-path", input_path, "--noop-sink"],
+                    pin
+                    + [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+                       "--sf-dir", sf_dir, "--headline-only", "--turns", str(turns),
+                       "--input-path", input_path, "--noop-sink"],
                     capture_output=True, text=True, check=True,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
@@ -211,8 +264,11 @@ Same job (full two-phase pipeline: narrow block-offsets job + single-scan
 parse→CLP-encode→enrich→route→chunk compute, noop sink — a cluster's
 distributed sink scales with executors; this box's one local disk does
 not), same materialized input ({results[levels[0]]['turns']} turns,
-sf={results[levels[0]]['sf']}), each level in its own JVM, steady-state
-min-of-6 wall per invocation, best of {rounds} invocations per level:
+sf={results[levels[0]]['sf']}), each level in its own JVM **CPU-pinned to
+exactly N cores** (`taskset -c 0-(N-1)`; unpinned, a local[N] JVM spreads
+GC/IO/Python-worker threads over all host cores and overstates the low
+leg), steady-state min-of-6 wall per invocation, best of {rounds}
+invocations per level:
 
 | parallelism | wall sec | turns/sec |
 |---|---|---|

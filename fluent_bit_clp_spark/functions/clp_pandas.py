@@ -168,6 +168,16 @@ def _unpack_float4(p: int) -> str:
     return f"{sign}{s[:ilen]}.{s[ilen:]}"
 
 
+def _classify_tok(tok: str, fourbyte: bool) -> int:
+    """The single kind-decision function — shared by the full encoder and
+    the classify-only path so the two can never diverge."""
+    if _INT.match(tok) and (not fourbyte or INT32_MIN <= int(tok) <= INT32_MAX):
+        return KIND_INT
+    if _FLOAT.match(tok) and _float_ok(tok, fourbyte):
+        return KIND_FLOAT
+    return KIND_DICT
+
+
 def _encode_one(text: str | None, mode: str = MODE_I64):
     if text is None:
         return None, None, None, None
@@ -183,13 +193,12 @@ def _encode_one(text: str | None, mode: str = MODE_I64):
         out.append(PLACEHOLDER)
         last = m.end()
         tok = m.group(0)
-        if _INT.match(tok) and (
-            not fourbyte or INT32_MIN <= int(tok) <= INT32_MAX
-        ):
+        k = _classify_tok(tok, fourbyte)
+        if k == KIND_INT:
             kinds.append(KIND_INT)
             encoded.append(int(tok))
             dicts.append(None)
-        elif _FLOAT.match(tok) and _float_ok(tok, fourbyte):
+        elif k == KIND_FLOAT:
             kinds.append(KIND_FLOAT)
             encoded.append(_pack_float4(tok) if fourbyte else _pack_float(tok))
             dicts.append(None)
@@ -199,6 +208,17 @@ def _encode_one(text: str | None, mode: str = MODE_I64):
             dicts.append(tok)
     out.append(esc[last:])
     return "".join(out), kinds, encoded, dicts
+
+
+def _classify_one(text: str | None, mode: str = MODE_I64):
+    """var_kinds only — skips logtype assembly, float packing and all
+    xxh64 id hashing (VERDICT r2 #3: running the full encode to keep one
+    column doubled the histogram query's cost)."""
+    if text is None:
+        return None
+    fourbyte = mode == MODE_4BYTE
+    esc = text.replace(ESCAPE, ESCAPE + "e").replace(PLACEHOLDER, ESCAPE + "p")
+    return [_classify_tok(m.group(0), fourbyte) for m in _VAR.finditer(esc)]
 
 
 def _float_ok(tok: str, fourbyte: bool) -> bool:
@@ -231,6 +251,15 @@ def clp_encode_udf(mode: str = MODE_I64):
     """Built lazily — @pandas_udf parses its DDL schema against the active
     SparkSession, so module-import-time construction would fail."""
     return pandas_udf(lambda s: _encode_batch(s, mode), _ENCODE_SCHEMA)
+
+
+def clp_var_kinds_udf(mode: str = MODE_I64):
+    """Classify-only UDF: array<int> of var kinds per row, via the exact
+    production token grammar + kind decision (shared ``_classify_tok``)."""
+    return pandas_udf(
+        lambda s: pd.Series([_classify_one(t, mode) for t in s], dtype="object"),
+        "array<int>",
+    )
 
 
 def _decode_one(logtype, kinds, encoded, dicts, mode: str = MODE_I64) -> str | None:

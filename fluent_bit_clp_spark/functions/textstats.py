@@ -86,3 +86,54 @@ def fingerprint(text: str = "text") -> Column:
         f"array_join(regexp_extract_all(lower({text}), '{WORD_RE}', 0), ' ')"
     )
     return F.md5(normalized)
+
+
+# ---------------------------------------------------------------------------
+# Staged variants (VERDICT r2 #2): the composite functions above re-expand
+# the tokenizer regex + interpreted filter() HOF inside every consumer
+# expression — Catalyst's subexpression elimination does not reach across
+# interpreted HOFs, so selecting stop_ratio + punct_ratio + quality together
+# evaluated regexp_extract_all ~3× per row (t_quality 1.2 s → 9.8 s).
+# The *_from builders take already-materialized intermediate COLUMNS;
+# CollapseProject will not inline a non-cheap alias referenced more than
+# once, so each intermediate is computed exactly once per row.  Same exact
+# arithmetic, so oracle hashes are unchanged.
+# ---------------------------------------------------------------------------
+
+
+def words_array(text: str = "text") -> Column:
+    """The shared tokenizer — materialize once, feed the *_from builders."""
+    return F.expr(f"regexp_extract_all(lower({text}), '{WORD_RE}', 0)")
+
+
+def stopword_ratio_from(words_col: str) -> Column:
+    """stopword_ratio over a pre-materialized words array column."""
+    stops = ",".join(f"'{w}'" for w in STOPWORDS_EN)
+    return F.expr(
+        f"case when size({words_col}) = 0 then 0.0D "
+        f"else cast(size(filter({words_col}, w -> w in ({stops}))) as double)"
+        f" / size({words_col}) end"
+    )
+
+
+def quality_from(text: str, stop_col: str, punct_col: str) -> Column:
+    """quality_score from pre-materialized ratio columns (same formula)."""
+    len_ok = F.expr(
+        f"case when length({text}) between 50 and 20000 then 1.0D else 0.0D end"
+    )
+    return F.round(
+        0.5 * len_ok
+        + 0.3 * (1 - F.least(F.col(punct_col) * 4, F.lit(1.0)))
+        + 0.2 * F.least(F.col(stop_col) * 10, F.lit(1.0)),
+        4,
+    )
+
+
+def lang_from(stop_col: str) -> Column:
+    """lang_id from a pre-materialized stopword-ratio column."""
+    return F.when(F.col(stop_col) > 0.03, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint_from(words_col: str) -> Column:
+    """fingerprint from a pre-materialized words array column."""
+    return F.md5(F.array_join(F.col(words_col), " "))

@@ -10,7 +10,8 @@ Serialization is a compact length-prefixed layout (our own IR framing; the
 upstream CLP IR byte protocol lives in the clp-ffi-go submodule, which is
 not vendored in the reference checkout — SURVEY.md §1.4):
 
-    [u8 version=2][u8 encoding  0=i64 | 1=4byte] then per event:
+    [u8 version=3][u8 encoding  0=i64 | 1=4byte]
+    [u16 tz_len][tz_len bytes: IANA timezone id, UTF-8] then per event:
         0x01 flags:u8 (bit0 = has_ts)
              ts_ms:i64 (present iff bit0 — an explicit flag, so a genuine
              ts of -1 ms round-trips; the v1 sentinel overloaded -1)
@@ -63,7 +64,12 @@ except ImportError:  # pragma: no cover
 
     CODEC = "zlib"
 
-VERSION = 2
+VERSION = 3  # v3 adds the timezone preamble (VERDICT r2 #3): the
+# reference carries a per-stream IANA timezone into the IR header
+# (`internal/irzstd/disk.go:61`) so a consumer can render wall-clock
+# timestamps; config default `America/Toronto`
+# (`internal/outctx/config.go:35,62`).
+DEFAULT_TIMEZONE = "America/Toronto"
 EVENT_TAG = 0x01
 EOS = 0x00  # explicit end-of-stream byte (disk.go:191-222)
 FLAG_HAS_TS = 0x01
@@ -128,9 +134,10 @@ def _ser_event(ts_ms, logtype: str, kinds, encs, dicts, enc: int) -> bytes:
     return b"".join(out)
 
 
-def _serialize_group(pdf: pd.DataFrame, enc: int) -> pd.DataFrame:
+def _serialize_group(pdf: pd.DataFrame, enc: int, tz: str) -> pd.DataFrame:
     pdf = pdf.sort_values(["conv_id", "turn_idx"])
-    buf = [struct.pack("<BB", VERSION, enc)]
+    tz_b = (tz or "").encode("utf-8")
+    buf = [struct.pack("<BB", VERSION, enc), struct.pack("<H", len(tz_b)), tz_b]
     for _, r in pdf.iterrows():
         buf.append(
             _ser_event(r["ts_ms"], r["logtype"], r["var_kinds"],
@@ -157,12 +164,20 @@ def _serialize_group(pdf: pd.DataFrame, enc: int) -> pd.DataFrame:
     )
 
 
-def write_ir_chunks(encoded: DataFrame, encoding: str = "i64") -> DataFrame:
+def write_ir_chunks(
+    encoded: DataFrame,
+    encoding: str = "i64",
+    timezone: str = DEFAULT_TIMEZONE,
+) -> DataFrame:
     """(sink, chunk_id) groups → one compressed IR-stream blob each.
 
     ``applyInPandas`` group = one upload object; chunk sizes are bounded by
     construction (16 MB of payload), so group memory is bounded too.
     ``encoding="4byte"`` requires encode columns from mode="4byte".
+    ``timezone`` (IANA id, e.g. ``JobConfig.timezone``) is serialized into
+    every stream's preamble — the reference's per-stream timezone header
+    (`internal/irzstd/disk.go:61`) that lets a consumer recover wall-clock
+    rendering from the epoch-millis timestamps.
     """
     from pyspark.sql import functions as F
 
@@ -178,7 +193,9 @@ def write_ir_chunks(encoded: DataFrame, encoding: str = "i64") -> DataFrame:
     return (
         encoded.select(*cols, enc_nn.alias("encoded_vars"))
         .groupBy("sink", "chunk_id")
-        .applyInPandas(lambda pdf: _serialize_group(pdf, enc), CHUNK_SCHEMA)
+        .applyInPandas(
+            lambda pdf: _serialize_group(pdf, enc, timezone), CHUNK_SCHEMA
+        )
     )
 
 
@@ -214,12 +231,27 @@ def read_ir_chunks_df(chunks: DataFrame) -> DataFrame:
     return chunks.mapInPandas(run, EVENT_SCHEMA)
 
 
+def _parse_header(raw: bytes) -> tuple[int, int, str, int]:
+    """(version, encoding, timezone, events_start_pos)."""
+    version, enc = raw[0], raw[1]
+    assert version == VERSION
+    (tz_len,) = struct.unpack_from("<H", raw, 2)
+    tz = raw[4 : 4 + tz_len].decode("utf-8")
+    return version, enc, tz, 4 + tz_len
+
+
+def read_ir_header(blob: bytes) -> dict:
+    """Stream preamble only: {version, encoding, timezone} — what a
+    consumer needs before decoding events (wall-clock rendering)."""
+    raw = _decompress(blob)
+    version, enc, tz, _ = _parse_header(raw)
+    return {"version": version, "encoding": enc, "timezone": tz}
+
+
 def read_ir_chunk(blob: bytes) -> list[dict]:
     """Inverse of the serializer — used by the round-trip tests."""
     raw = _decompress(blob)
-    version, enc = raw[0], raw[1]
-    assert version == VERSION
-    pos = 2
+    _, enc, _, pos = _parse_header(raw)
     events = []
     while True:
         tag = raw[pos]

@@ -38,11 +38,14 @@ from pyspark.sql import functions as F
 
 from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
 from fluent_bit_clp_spark.operators.chunk import (
+    AUTO_DISTRIBUTED_SCAN_BLOCKS,
     CHUNK_BYTES,
     DEFAULT_BLOCK_TURNS,
     IR_BIN_BYTES,
     assign_chunks,
     block_offsets,
+    block_sums,
+    offsets_from_sums,
     with_row_bytes,
 )
 from fluent_bit_clp_spark.operators.enrich import enrich, with_route_lookups
@@ -102,17 +105,37 @@ def write_block_offsets(
     df: DataFrame,
     path: str,
     block_turns: int = DEFAULT_BLOCK_TURNS,
-    distributed_scan: bool = False,
+    distributed_scan: bool | None = None,
+    auto_threshold: int = AUTO_DISTRIBUTED_SCAN_BLOCKS,
 ) -> DataFrame:
     """Materialize the block-offset summary; returns the re-read table.
 
     rows/block_turns rows — KBs at test scale, a few GB at 10^12 turns
     (still broadcastable at the default 8192 block size against a
     multi-GB driver; raise ``block_turns`` to shrink it further).
+
+    Two-step materialization: the per-block SUMS (the only pass over the
+    fact rows) land in parquet first, then the prefix offsets are computed
+    over the re-read summary.  That makes ``distributed_scan=None`` (auto,
+    the default — VERDICT r2 #7) free: the largest sink's block count is a
+    metadata-cheap count on the tiny materialized table, and the window
+    vs. distributed-scan choice no longer requires the caller to know the
+    data's shape.  Both paths are bit-identical (property-tested).
     """
-    offs = block_offsets(
-        narrow_route_plan(df), block_turns, distributed_scan=distributed_scan
-    )
+    sums_path = path + "_sums"
+    block_sums(narrow_route_plan(df), block_turns).write.mode(
+        "overwrite"
+    ).parquet(sums_path)
+    sums = spark.read.parquet(sums_path)
+    if distributed_scan is None:
+        row = (
+            sums.groupBy("sink")
+            .agg(F.count("*").alias("_n"))
+            .agg(F.max("_n"))
+            .first()
+        )
+        distributed_scan = (row[0] or 0) > auto_threshold
+    offs = offsets_from_sums(sums, distributed_scan=distributed_scan)
     # Stamp the granularity into the schema (survives the parquet
     # round-trip) so assign_chunks can reject a mismatched offsets table
     # instead of silently inner-join-dropping rows.

@@ -15,8 +15,14 @@ The reference ingests Fluent Bit Msgpack chunks: a stream of top-level
 
 The record is marshalled to JSON (decoder.go:166-172); Go's
 ``json.Marshal`` emits map keys in sorted order, which we mirror with
-``sort_keys=True`` + compact separators so downstream JSON parsing (P3)
-sees identical bytes.
+``sort_keys=True`` + compact separators.  Parity is **semantic, not
+byte-exact** (ADVICE r2): Go additionally HTML-escapes ``<``, ``>``,
+``&`` as ``\\u003c``-style sequences, which we deliberately do not — both
+forms parse to identical values, and the unescaped form is what every
+downstream JSON consumer (P3, DuckDB oracle) compares on.  Non-finite
+floats (NaN/±Inf — legal msgpack, invalid JSON) follow the reference's
+``json.Marshal``-error path: the record is flagged malformed rather than
+emitting unparseable ``NaN`` text (``allow_nan=False``).
 
 Deviation (same stance as ``plans.pipeline.parse_normalize``): the
 reference substitutes wall-clock *now* for unrecognized timestamp types
@@ -81,136 +87,47 @@ class _Ext:
         self.data = data
 
 
-def _decode_one(buf: bytes, pos: int):
-    """Decode one msgpack object at ``pos`` → (value, new_pos).
+# Marker dispatch (VERDICT r2 #5: the decode is the Python-side ingest
+# ceiling — the original if-chain paid up to ~25 comparisons per object).
+# Hot markers (fixint / fixstr / fixmap / fixarray) are inlined in
+# _decode_one; everything else goes through a precompiled-Struct handler
+# table — measured ~1.4× on realistic Fluent Bit chunks, see BENCH.md.
 
-    Covers the public-spec formats Fluent Bit produces: nil/bool, all
-    int/uint widths, float32/64, str, bin, array, map, fixext/ext.
-    """
-    if pos >= len(buf):
-        raise MsgpackError("truncated stream")
-    b = buf[pos]
-    pos += 1
-    if b <= 0x7F:  # positive fixint
-        return b, pos
-    if b >= 0xE0:  # negative fixint
-        return b - 0x100, pos
-    if 0x80 <= b <= 0x8F:  # fixmap
-        return _decode_map(buf, pos, b & 0x0F)
-    if 0x90 <= b <= 0x9F:  # fixarray
-        return _decode_array(buf, pos, b & 0x0F)
-    if 0xA0 <= b <= 0xBF:  # fixstr
-        return _take_str(buf, pos, b & 0x1F)
-    if b == 0xC0:
-        return None, pos
-    if b == 0xC2:
-        return False, pos
-    if b == 0xC3:
-        return True, pos
-    if b == 0xC4:  # bin8
-        (n,) = _unpack(">B", buf, pos)
-        return _take_bytes(buf, pos + 1, n)
-    if b == 0xC5:  # bin16
-        (n,) = _unpack(">H", buf, pos)
-        return _take_bytes(buf, pos + 2, n)
-    if b == 0xC6:  # bin32
-        (n,) = _unpack(">I", buf, pos)
-        return _take_bytes(buf, pos + 4, n)
-    if b == 0xC7:  # ext8
-        n, code = _unpack(">Bb", buf, pos)
-        data, pos = _take_bytes(buf, pos + 2, n)
-        return _Ext(code, data), pos
-    if b == 0xC8:  # ext16
-        n, code = _unpack(">Hb", buf, pos)
-        data, pos = _take_bytes(buf, pos + 3, n)
-        return _Ext(code, data), pos
-    if b == 0xC9:  # ext32
-        n, code = _unpack(">Ib", buf, pos)
-        data, pos = _take_bytes(buf, pos + 5, n)
-        return _Ext(code, data), pos
-    if b == 0xCA:  # float32
-        (v,) = _unpack(">f", buf, pos)
-        return v, pos + 4
-    if b == 0xCB:  # float64
-        (v,) = _unpack(">d", buf, pos)
-        return v, pos + 8
-    if b == 0xCC:
-        (v,) = _unpack(">B", buf, pos)
-        return v, pos + 1
-    if b == 0xCD:
-        (v,) = _unpack(">H", buf, pos)
-        return v, pos + 2
-    if b == 0xCE:
-        (v,) = _unpack(">I", buf, pos)
-        return v, pos + 4
-    if b == 0xCF:
-        (v,) = _unpack(">Q", buf, pos)
-        return v, pos + 8
-    if b == 0xD0:
-        (v,) = _unpack(">b", buf, pos)
-        return v, pos + 1
-    if b == 0xD1:
-        (v,) = _unpack(">h", buf, pos)
-        return v, pos + 2
-    if b == 0xD2:
-        (v,) = _unpack(">i", buf, pos)
-        return v, pos + 4
-    if b == 0xD3:
-        (v,) = _unpack(">q", buf, pos)
-        return v, pos + 8
-    if 0xD4 <= b <= 0xD8:  # fixext 1/2/4/8/16
-        n = 1 << (b - 0xD4)
-        (code,) = _unpack(">b", buf, pos)
-        data, pos = _take_bytes(buf, pos + 1, n)
-        return _Ext(code, data), pos
-    if b == 0xD9:  # str8
-        (n,) = _unpack(">B", buf, pos)
-        return _take_str(buf, pos + 1, n)
-    if b == 0xDA:  # str16
-        (n,) = _unpack(">H", buf, pos)
-        return _take_str(buf, pos + 2, n)
-    if b == 0xDB:  # str32
-        (n,) = _unpack(">I", buf, pos)
-        return _take_str(buf, pos + 4, n)
-    if b == 0xDC:  # array16
-        (n,) = _unpack(">H", buf, pos)
-        return _decode_array(buf, pos + 2, n)
-    if b == 0xDD:  # array32
-        (n,) = _unpack(">I", buf, pos)
-        return _decode_array(buf, pos + 4, n)
-    if b == 0xDE:  # map16
-        (n,) = _unpack(">H", buf, pos)
-        return _decode_map(buf, pos + 2, n)
-    if b == 0xDF:  # map32
-        (n,) = _unpack(">I", buf, pos)
-        return _decode_map(buf, pos + 4, n)
-    raise MsgpackError(f"unsupported msgpack marker 0x{b:02x}")
-
-
-def _unpack(fmt: str, buf: bytes, pos: int):
-    try:
-        return struct.unpack_from(fmt, buf, pos)
-    except struct.error as e:  # truncated
-        raise MsgpackError(str(e)) from e
+_SH = struct.Struct(">H")
+_SI = struct.Struct(">I")
+_SQ = struct.Struct(">Q")
+_Sb = struct.Struct(">b")
+_Sh = struct.Struct(">h")
+_Si = struct.Struct(">i")
+_Sq = struct.Struct(">q")
+_Sf = struct.Struct(">f")
+_Sd = struct.Struct(">d")
+_SBb = struct.Struct(">Bb")
+_SHb = struct.Struct(">Hb")
+_SIb = struct.Struct(">Ib")
 
 
 def _take_bytes(buf: bytes, pos: int, n: int):
-    if pos + n > len(buf):
+    end = pos + n
+    if end > len(buf):
         raise MsgpackError("truncated payload")
-    return buf[pos : pos + n], pos + n
+    return buf[pos:end], end
 
 
 def _take_str(buf: bytes, pos: int, n: int):
-    raw, pos = _take_bytes(buf, pos, n)
+    end = pos + n
+    if end > len(buf):
+        raise MsgpackError("truncated payload")
     # RawToString analogue (decoder.go:62): strings, not byte arrays.
-    return raw.decode("utf-8", errors="replace"), pos
+    return buf[pos:end].decode("utf-8", errors="replace"), end
 
 
 def _decode_array(buf: bytes, pos: int, n: int):
     out = []
+    append = out.append
     for _ in range(n):
         v, pos = _decode_one(buf, pos)
-        out.append(v)
+        append(v)
     return out, pos
 
 
@@ -219,26 +136,142 @@ def _decode_map(buf: bytes, pos: int, n: int):
     for _ in range(n):
         k, pos = _decode_one(buf, pos)
         v, pos = _decode_one(buf, pos)
-        if isinstance(k, bytes):  # RawToString analogue for bin-typed keys
-            k = k.decode("utf-8", errors="replace")
-        elif not isinstance(k, str):
-            k = str(k)
+        if k.__class__ is not str:
+            if isinstance(k, bytes):  # RawToString analogue for bin keys
+                k = k.decode("utf-8", errors="replace")
+            else:
+                k = str(k)
         out[k] = v
     return out, pos
 
 
-def _jsonable(v):
+def _h_nil(buf, pos):
+    return None, pos
+
+
+def _h_false(buf, pos):
+    return False, pos
+
+
+def _h_true(buf, pos):
+    return True, pos
+
+
+def _h_bin8(buf, pos):
+    return _take_bytes(buf, pos + 1, buf[pos])
+
+
+def _h_bin16(buf, pos):
+    return _take_bytes(buf, pos + 2, _SH.unpack_from(buf, pos)[0])
+
+
+def _h_bin32(buf, pos):
+    return _take_bytes(buf, pos + 4, _SI.unpack_from(buf, pos)[0])
+
+
+def _h_ext8(buf, pos):
+    n, code = _SBb.unpack_from(buf, pos)
+    data, pos = _take_bytes(buf, pos + 2, n)
+    return _Ext(code, data), pos
+
+
+def _h_ext16(buf, pos):
+    n, code = _SHb.unpack_from(buf, pos)
+    data, pos = _take_bytes(buf, pos + 3, n)
+    return _Ext(code, data), pos
+
+
+def _h_ext32(buf, pos):
+    n, code = _SIb.unpack_from(buf, pos)
+    data, pos = _take_bytes(buf, pos + 5, n)
+    return _Ext(code, data), pos
+
+
+def _mk_fixext(n):
+    def h(buf, pos):
+        code = _Sb.unpack_from(buf, pos)[0]
+        data, end = _take_bytes(buf, pos + 1, n)
+        return _Ext(code, data), end
+
+    return h
+
+
+_TABLE = {
+    0xC0: _h_nil,
+    0xC2: _h_false,
+    0xC3: _h_true,
+    0xC4: _h_bin8,
+    0xC5: _h_bin16,
+    0xC6: _h_bin32,
+    0xC7: _h_ext8,
+    0xC8: _h_ext16,
+    0xC9: _h_ext32,
+    0xCA: lambda buf, pos: (_Sf.unpack_from(buf, pos)[0], pos + 4),
+    0xCB: lambda buf, pos: (_Sd.unpack_from(buf, pos)[0], pos + 8),
+    0xCC: lambda buf, pos: (buf[pos], pos + 1),
+    0xCD: lambda buf, pos: (_SH.unpack_from(buf, pos)[0], pos + 2),
+    0xCE: lambda buf, pos: (_SI.unpack_from(buf, pos)[0], pos + 4),
+    0xCF: lambda buf, pos: (_SQ.unpack_from(buf, pos)[0], pos + 8),
+    0xD0: lambda buf, pos: (_Sb.unpack_from(buf, pos)[0], pos + 1),
+    0xD1: lambda buf, pos: (_Sh.unpack_from(buf, pos)[0], pos + 2),
+    0xD2: lambda buf, pos: (_Si.unpack_from(buf, pos)[0], pos + 4),
+    0xD3: lambda buf, pos: (_Sq.unpack_from(buf, pos)[0], pos + 8),
+    0xD4: _mk_fixext(1),
+    0xD5: _mk_fixext(2),
+    0xD6: _mk_fixext(4),
+    0xD7: _mk_fixext(8),
+    0xD8: _mk_fixext(16),
+    0xD9: lambda buf, pos: _take_str(buf, pos + 1, buf[pos]),
+    0xDA: lambda buf, pos: _take_str(buf, pos + 2, _SH.unpack_from(buf, pos)[0]),
+    0xDB: lambda buf, pos: _take_str(buf, pos + 4, _SI.unpack_from(buf, pos)[0]),
+    0xDC: lambda buf, pos: _decode_array(buf, pos + 2, _SH.unpack_from(buf, pos)[0]),
+    0xDD: lambda buf, pos: _decode_array(buf, pos + 4, _SI.unpack_from(buf, pos)[0]),
+    0xDE: lambda buf, pos: _decode_map(buf, pos + 2, _SH.unpack_from(buf, pos)[0]),
+    0xDF: lambda buf, pos: _decode_map(buf, pos + 4, _SI.unpack_from(buf, pos)[0]),
+}
+
+
+def _decode_one(buf: bytes, pos: int):
+    """Decode one msgpack object at ``pos`` → (value, new_pos).
+
+    Covers the public-spec formats Fluent Bit produces: nil/bool, all
+    int/uint widths, float32/64, str, bin, array, map, fixext/ext.
+    Truncation surfaces as MsgpackError / struct.error / IndexError —
+    all converted to one malformed row at the iter_records boundary.
+    """
+    try:
+        b = buf[pos]
+    except IndexError:
+        raise MsgpackError("truncated stream") from None
+    pos += 1
+    if b <= 0x7F:  # positive fixint
+        return b, pos
+    if 0xA0 <= b <= 0xBF:  # fixstr (hottest marker in log records)
+        return _take_str(buf, pos, b & 0x1F)
+    if b >= 0xE0:  # negative fixint
+        return b - 0x100, pos
+    if b <= 0x8F:  # fixmap (0x80-0x8F; < 0x80 handled above)
+        return _decode_map(buf, pos, b & 0x0F)
+    if b <= 0x9F:  # fixarray
+        return _decode_array(buf, pos, b & 0x0F)
+    try:
+        handler = _TABLE[b]
+    except KeyError:
+        raise MsgpackError(f"unsupported msgpack marker 0x{b:02x}") from None
+    return handler(buf, pos)
+
+
+def _json_default(v):
+    """json.dumps ``default`` hook — replaces the old full-tree pre-walk
+    (_jsonable) so plain dict/list/str/int values serialize with zero
+    extra copies; only the exotic types pay the hook call."""
     if isinstance(v, bytes):
         return v.decode("utf-8", errors="replace")
     if isinstance(v, _FlbTime):
         return v.to_ms()
     if isinstance(v, _Ext):
         return None
-    if isinstance(v, list):
-        return [_jsonable(x) for x in v]
-    if isinstance(v, dict):
-        return {k: _jsonable(x) for k, x in v.items()}
-    return v
+    raise TypeError(f"unencodable {type(v)}")
 
 
 _I64_MAX = (1 << 63) - 1
@@ -280,10 +313,12 @@ def iter_records(
     while pos < n:
         try:
             obj, pos = _decode_one(blob, pos)
-        except (MsgpackError, RecursionError):
+        except (MsgpackError, RecursionError, struct.error, IndexError):
             # RecursionError: adversarially deep nesting (e.g. thousands of
             # wrapped fixarrays) must degrade to a malformed row, not
             # escape mapInPandas and kill the executor task.
+            # struct.error/IndexError: truncation inside a precompiled-
+            # Struct handler (same truncated-stream class as MsgpackError).
             yield None, None, True  # undecodable remainder
             return
         if not isinstance(obj, list) or len(obj) != 2:
@@ -298,12 +333,17 @@ def iter_records(
         ts_ms, ok = _ts_to_ms(ts, ts_mode)
         try:
             record_json = json.dumps(
-                _jsonable(record),
+                record,
+                default=_json_default,
                 sort_keys=True,  # Go json.Marshal emits sorted map keys
                 separators=(",", ":"),
                 ensure_ascii=False,
+                # NaN/Inf: Go json.Marshal errors and the reference drops
+                # the record (GetRecord returns the marshal error) — we
+                # flag it malformed instead of emitting invalid JSON.
+                allow_nan=False,
             )
-        except RecursionError:
+        except (RecursionError, ValueError):
             yield None, None, True
             continue
         yield ts_ms, record_json, not ok

@@ -187,7 +187,15 @@ def stream_dual_timer_flush(
 
     - batch ids are monotone per sink across timeout-fired flushes (the
       counter survives in state — a small per-sink state row persists
-      between batches, bounded by sink cardinality);
+      between batches, bounded by sink cardinality).  **API requirement
+      (ADVICE r2): key this operator on a LOW-CARDINALITY, long-lived sink
+      set** (the reference's route tags — a handful of streams).  The
+      monotone counter means idle groups keep one permanent state-store
+      row each (the timed-out successor is saved, never ``state.remove``d,
+      so the next event resumes the count instead of restarting at 0);
+      with ephemeral high-cardinality keys (e.g. per-file streams) that
+      row-per-key-ever-seen becomes a state leak — derive a bounded sink
+      key first (route tags, hash buckets), as the batch pipeline does;
     - events are applied in ARRIVAL order within the watermark (each
       micro-batch is sorted, but a watermark-admitted late event folds
       after earlier-arriving newer events).  That matches the reference's

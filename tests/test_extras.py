@@ -109,6 +109,29 @@ def test_ivf_assignment(vectors, spark):
     assert len(by_id) == 50
 
 
+def test_ivf_topk_searches_probed_cells_only(vectors, spark):
+    """IVF search returns cosine-ranked neighbors drawn only from the
+    query's nprobe nearest cells; with nprobe = C it equals brute force."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.5]), (1, [0.0, 1.0, 0.0, 0.5]),
+         (2, [-1.0, 0.0, 0.0, 0.5])],
+        "centroid_id int, embedding array<float>",
+    )
+    q = vectors.where(F.col("vec_id") == 0)
+    out = SIM.ivf_topk(vectors, cents, q, k=3, nprobe=1).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    # nprobe=1 → candidates only from cell 0 (vectors near angle 0)
+    cells = {r.vec_id: r.centroid_id for r in
+             SIM.ivf_assignments(vectors, cents).collect()}
+    assert all(cells[r.neighbor_id] == cells[0] for r in out)
+    # probing every cell recovers the exact brute-force top-k
+    full = SIM.ivf_topk(vectors, cents, q, k=3, nprobe=3).collect()
+    brute = SIM.cosine_topk(vectors, q, k=3).collect()
+    assert [(r.rank, r.neighbor_id) for r in full] == [
+        (r.rank, r.neighbor_id) for r in brute
+    ]
+
+
 def test_multimodal_features(spark):
     rows = [
         (1, "image", bytearray(b"\x00" * 10 + b"\xff" * 10), ("image/png", 4, 4, None)),

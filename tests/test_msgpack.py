@@ -236,6 +236,17 @@ def test_uint64_ts_beyond_int64_is_malformed():
     assert list(iter_records(blob, "v1")) == [(None, RECORD_JSON, True)]
 
 
+def test_nonfinite_float_record_is_malformed():
+    """NaN/Inf floats are legal msgpack but invalid JSON; Go json.Marshal
+    errors and the reference drops the record (decoder.go:166-172) — we
+    flag the row malformed instead of emitting unparseable 'NaN' text
+    (ADVICE r2)."""
+    for word in (float("nan"), float("inf"), float("-inf")):
+        rec = b"\x81\xa1k\xcb" + struct.pack(">d", word)  # {'k': nan/inf}
+        blob = b"\x92\xcf" + struct.pack(">Q", MS) + rec
+        assert list(iter_records(blob, "v2")) == [(None, None, True)]
+
+
 def test_bin_typed_map_key_decodes_as_string():
     """RawToString analogue covers bin-typed keys: b'log' renders as
     JSON key "log", not "b'log'"."""

@@ -294,6 +294,55 @@ def test_offsets_block_turns_mismatch_rejected(spark, tmp_path, tiny):
         encode_pipeline(df, spark, block_turns=8192, offsets=offs)
 
 
+def test_stale_offsets_fail_loudly(spark, tmp_path, tiny):
+    """ADVICE r2 (medium): an offsets table built from a DIFFERENT input
+    snapshot (here: missing a conversation) must raise at execution, not
+    silently inner-join-drop the uncovered fact rows from the sink."""
+    from fluent_bit_clp_spark.plans.pipeline import (
+        encode_pipeline,
+        write_block_offsets,
+    )
+
+    src = str(tmp_path / "src3")
+    tiny.write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    some_conv = df.select("conv_id").first()[0]
+    stale = write_block_offsets(
+        spark,
+        df.where(F.col("conv_id") != some_conv),
+        str(tmp_path / "o3"),
+        block_turns=7,
+    )
+    out = encode_pipeline(df, spark, block_turns=7, offsets=stale)
+    with pytest.raises(Exception, match="not covered"):
+        out.select("byte_start").collect()
+
+
+def test_write_block_offsets_auto_distributed(spark, tmp_path, tiny):
+    """VERDICT r2 #7: distributed_scan=None auto-picks from the
+    materialized summary size; forced-distributed output is bit-identical
+    to the windowed default."""
+    from fluent_bit_clp_spark.plans.pipeline import write_block_offsets
+
+    src = str(tmp_path / "src4")
+    tiny.write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    cols = ["sink", "conv_id", "_block", "_block_start"]
+    # auto with a 1-block threshold → takes the distributed path
+    a = (
+        write_block_offsets(spark, df, str(tmp_path / "o4a"), block_turns=7,
+                            auto_threshold=1)
+        .select(cols).toPandas().sort_values(cols[:3]).reset_index(drop=True)
+    )
+    # auto with the default (huge) threshold → takes the window path
+    b = (
+        write_block_offsets(spark, df, str(tmp_path / "o4b"), block_turns=7)
+        .select(cols).toPandas().sort_values(cols[:3]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 1
+
+
 def test_run_to_sinks_4byte_mode(spark, tmp_path, tiny):
     """encoding_mode='4byte' flows cfg→pipeline→sink: encoded values fit
     four bytes and the written output decodes back to the input text."""
