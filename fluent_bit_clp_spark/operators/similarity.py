@@ -212,6 +212,84 @@ def ivf_topk(
     )
 
 
+def train_centroids(
+    vectors: DataFrame,
+    c: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means for IVF coarse quantizers.
+
+    Scale shape: the centroid set (C × dim doubles) is the ONLY
+    driver-side state — each iteration broadcasts it, assigns every
+    vector map-side (``min_by`` over the broadcast cross join, no sort),
+    and reduces per-dimension sums via ``posexplode`` → groupBy partial
+    aggregation (shuffle volume C × dim rows after map-side combine, not
+    N × dim).  Collecting C × dim rows per round also keeps the plan
+    flat — no iterative-lineage blowup.
+
+    Deterministic by construction: seeding takes the ``c`` vectors with
+    the smallest ``(portable_hash64(id), id)`` (a pseudo-random but
+    reproducible spread), assignment ties break on ``centroid_id``, and
+    empty cells retain their previous centroid.  (Mean arithmetic is
+    floating-point, so cross-parallelism results agree to summation
+    order — exact at the assignment level for separated clusters.)
+    Returns ``(centroid_id int, embedding array<double>)`` — feed to
+    :func:`ivf_topk` / :func:`ivf_assignments`.
+    """
+    from fluent_bit_clp_spark.functions.hashing import portable_hash64
+
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seeds = (
+        v.withColumn("_h", portable_hash64(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(c)
+        .select("v")
+        .collect()
+    )
+    cents = [list(r["v"]) for r in seeds]
+    if len(cents) < c:
+        raise ValueError(f"need at least c={c} vectors, got {len(cents)}")
+    dim = len(cents[0])
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, cents[i]) for i in range(c)],
+                "centroid_id int, c_vec array<double>",
+            )
+        )
+        assigned = (
+            v.crossJoin(cdf)
+            .withColumn("d2", F.expr(_dist2_expr("v", "c_vec")))
+            .groupBy("_id")
+            .agg(
+                F.min_by(
+                    "centroid_id", F.struct("d2", "centroid_id")
+                ).alias("cid"),
+                F.first("v").alias("v"),
+            )
+        )
+        stats = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()  # C × dim rows — bounded, independent of N
+        )
+        new = [list(cent) for cent in cents]  # empty cells keep position
+        for r in stats:
+            new[r["cid"]][r["pos"]] = r["s"] / r["n"]
+        cents = new
+    return spark.createDataFrame(
+        [(i, cents[i]) for i in range(c)],
+        "centroid_id int, embedding array<double>",
+    )
+
+
 def ivf_assignments(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -109,6 +109,35 @@ def test_ivf_assignment(vectors, spark):
     assert len(by_id) == 50
 
 
+def test_train_centroids_recovers_clusters(spark):
+    """Lloyd's k-means with deterministic seeding recovers two
+    well-separated clusters, and the trained quantizer plugs straight
+    into ivf_assignments (every vector lands in its true cluster's
+    cell)."""
+    rows = []
+    for i in range(30):
+        rows.append((i, [10.0 + (i % 5) * 0.01, 10.0, 0.0, 0.0]))
+        rows.append((100 + i, [-10.0, -10.0 - (i % 5) * 0.01, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = SIM.train_centroids(df, c=2, iters=4)
+    got = sorted(
+        [r.embedding for r in cents.collect()], key=lambda e: e[0]
+    )
+    assert abs(got[0][0] - (-10.0)) < 0.1 and abs(got[0][1] - (-10.0)) < 0.1
+    assert abs(got[1][0] - 10.0) < 0.1 and abs(got[1][1] - 10.0) < 0.1
+    # determinism: second training run is identical
+    again = sorted(
+        [r.embedding for r in SIM.train_centroids(df, c=2, iters=4).collect()],
+        key=lambda e: e[0],
+    )
+    assert got == again
+    assign = SIM.ivf_assignments(df, cents)
+    by_cell: dict = {}
+    for r in assign.collect():
+        by_cell.setdefault(r.centroid_id, set()).add(r.vec_id < 100)
+    assert all(len(s) == 1 for s in by_cell.values())  # pure cells
+
+
 def test_ivf_topk_searches_probed_cells_only(vectors, spark):
     """IVF search returns cosine-ranked neighbors drawn only from the
     query's nprobe nearest cells; with nprobe = C it equals brute force."""
@@ -151,6 +180,73 @@ def test_multimodal_features(spark):
 def test_multimodal_unknown_kind_raises():
     with pytest.raises(NotImplementedError):
         MM._decode_stub(b"x", "hologram")
+
+
+def test_minhash_lane_matches_python(spark):
+    """Spark universal-hash lanes (one md5 → k multiply-add-mod lanes,
+    the round-3 MinHash hot path) are bit-equal to the Python twin, and
+    stay within [0, 2^31-1)."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_clp_spark.functions.hashing import (
+        MERSENNE_P,
+        lane_col,
+        lane_params,
+        portable_hash64,
+        py_lane,
+        py_portable_hash64,
+    )
+
+    vals = ["", "hello", "wörld", "a b c", "x" * 200]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    params = lane_params(8)
+    assert len(set(params)) == 8  # distinct lanes
+    cols = [lane_col(portable_hash64(F.col("s")), a, b).alias(f"l{i}")
+            for i, (a, b) in enumerate(params)]
+    got = {r["s"]: r for r in df.select("s", *cols).collect()}
+    for v in vals:
+        h = py_portable_hash64(v)
+        for i, (a, b) in enumerate(params):
+            want = py_lane(h, a, b)
+            assert got[v][f"l{i}"] == want, (v, i)
+            assert 0 <= want < MERSENNE_P
+
+
+def test_staged_textstats_equal_composite(spark):
+    """The staged *_from builders (round-3 perf fix) compute exactly the
+    composite functions' values — the twins can never diverge silently."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "", "short", "the quick brown fox is one of the best and a test "
+        "of stopwords in a sentence that runs long enough to score",
+        "no-stopwords-here xyzzy 12345 !!!", "a" * 25000, None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    staged = (
+        df.withColumn("_w", TS.words_array("text"))
+        .withColumn("_sr", TS.stopword_ratio_from("_w"))
+        .withColumn("_pr", TS.punct_ratio("text"))
+        .select(
+            "text",
+            F.col("_sr").alias("sr"),
+            TS.quality_from("text", "_sr", "_pr").alias("q"),
+            TS.lang_from("_sr").alias("lang"),
+            TS.fingerprint_from("_w").alias("fp"),
+        )
+    )
+    composite = df.select(
+        "text",
+        TS.stopword_ratio("text").alias("sr"),
+        TS.quality_score("text").alias("q"),
+        TS.lang_id("text").alias("lang"),
+        TS.fingerprint("text").alias("fp"),
+    )
+    a = staged.collect()
+    b = composite.collect()
+    key = lambda r: (r.text is None, r.text)  # noqa: E731
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        assert (ra.sr, ra.q, ra.lang, ra.fp) == (rb.sr, rb.q, rb.lang, rb.fp), ra.text
 
 
 def test_portable_hash_matches_python(spark):
