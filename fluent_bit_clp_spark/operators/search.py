@@ -125,6 +125,99 @@ def compile_var_predicates(query: str, mode: str = MODE_I64) -> list:
     return preds
 
 
+def _dict_only_fragment(frag: str) -> bool:
+    """True when every token matching this fragment is necessarily a
+    DICTIONARY variable: int/float tokens consist of [0-9.-] only, so a
+    fragment containing any other character rules the encoded classes out
+    for every token containing it."""
+    return any(ch not in "0123456789.-" for ch in frag)
+
+
+def compile_fragment_var_predicates(
+    query: str,
+    var_dictionary: DataFrame,
+    max_ids: int = 10_000,
+) -> list:
+    """CLP-style sub-query enumeration for *wildcard-adjacent fragments*
+    (the paper's query compilation against the variable dictionary).
+
+    A fragment like ``container-*`` has exactly two interpretations in the
+    data (when it contains a non-numeric character, so the encoded-int/
+    float classes are impossible): it survives as literal text in the
+    logtype, OR it is (part of) a dictionary variable.  The variable
+    dictionary is searched for the fragment (distributed rlike; only the
+    matching ids are collected, capped at ``max_ids``), giving the
+    disjunctive predicate
+
+        logtype RLIKE fragment  OR  arrays_overlap(dict_var_ids, S)
+
+    which strictly tightens the relaxed logtype prune — rows whose
+    placeholder swallowed a non-matching variable are no longer decoded.
+
+    Orientation matters for soundness (the data token can extend over the
+    ``*`` side only):
+
+    - fragment BEFORE a ``*`` (``abc*``)  → token starts with it: ``^abc``
+    - fragment AFTER a ``*``  (``*abc``)  → token ends with it:  ``abc$``
+    - fragment between two ``*``          → token contains it:   ``abc``
+
+    An oversized id set (> ``max_ids``) is non-discriminative; the
+    fragment's predicate is skipped (sound — only ever removes true
+    negatives).  Purely numeric fragments are skipped too (the token
+    could be an encoded variable).
+    """
+    parts = query.split("*")
+    last = len(parts) - 1
+    frags: list[tuple[str, str]] = []  # (regex_on_var, fragment)
+    for i, part in enumerate(parts):
+        lead = _LEADING_FRAG.match(part) if i > 0 else None
+        trail = _TRAILING_FRAG.search(part) if i < last else None
+        if (
+            lead
+            and trail
+            and lead.group(0) == part
+            and trail.group(0) == part
+        ):
+            # the whole part is one token fragment with '*' on both sides
+            frags.append((re.escape(part), part))
+            continue
+        if lead and trail and lead.end() > trail.start():
+            # overlapping fragments inside one token region but only
+            # partially — ambiguous orientation; skip (stay sound)
+            continue
+        if lead:
+            frags.append((re.escape(lead.group(0)) + "$", lead.group(0)))
+        if trail:
+            frags.append(("^" + re.escape(trail.group(0)), trail.group(0)))
+    preds = []
+    for var_pat, frag in frags:
+        if not _dict_only_fragment(frag):
+            continue
+        ids = [
+            r["var_id"]
+            for r in var_dictionary.where(F.col("var").rlike(var_pat))
+            .select("var_id")
+            .limit(max_ids + 1)
+            .collect()
+        ]
+        if len(ids) > max_ids:
+            continue
+        in_dict = (
+            F.arrays_overlap(
+                F.coalesce(
+                    F.col("dict_var_ids"),
+                    F.array().cast("array<bigint>"),
+                ),
+                F.lit(ids).cast("array<bigint>"),
+            )
+            if ids
+            else F.lit(False)
+        )
+        literal = F.col("logtype").rlike(re.escape(frag))
+        preds.append(literal | in_dict)
+    return preds
+
+
 def logtype_matches(pattern: str, dictionary: DataFrame) -> DataFrame:
     return dictionary.where(F.col("logtype").rlike(pattern))
 
@@ -134,15 +227,20 @@ def search_encoded(
     query: str,
     dictionary: DataFrame | None = None,
     mode: str = MODE_I64,
+    var_dictionary: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of the encoded table matching ``query``.
 
     Prune order: logtype pattern → per-variable predicates
     (:func:`compile_var_predicates` — concrete values prune on the
-    encoded/dictionary columns, no decode) → decode-verify the survivors
-    only (step 3 above).  ``mode`` must be the mode the table was encoded
-    with (i64 default; pass "4byte" for FourByteEncoding tables — both
-    the value predicates and the decode-verify depend on it)."""
+    encoded/dictionary columns, no decode) → wildcard-fragment
+    enumeration against ``var_dictionary`` when supplied
+    (:func:`compile_fragment_var_predicates` — the CLP paper's
+    dictionary-compiled sub-queries, tightening fragment queries like
+    ``container-*``) → decode-verify the survivors only (step 3 above).
+    ``mode`` must be the mode the table was encoded with (i64 default;
+    pass "4byte" for FourByteEncoding tables — both the value predicates
+    and the decode-verify depend on it)."""
     pattern = compile_relaxed_pattern(query)
     if dictionary is not None:
         ids = F.broadcast(logtype_matches(pattern, dictionary).select("logtype_id"))
@@ -151,6 +249,9 @@ def search_encoded(
         cand = encoded.where(F.col("logtype").rlike(pattern))
     for pred in compile_var_predicates(query, mode):
         cand = cand.where(pred)
+    if var_dictionary is not None:
+        for pred in compile_fragment_var_predicates(query, var_dictionary):
+            cand = cand.where(pred)
     verified = cand.withColumn("_decoded", clp_decode_column(mode=mode)).where(
         F.col("_decoded").rlike(exact_text_pattern(query))
     )

@@ -125,6 +125,72 @@ def test_var_predicates_dict_token(spark):
     assert [r.id for r in hits.collect()] == [0x1F]
 
 
+def test_fragment_var_dictionary_enumeration(spark):
+    """CLP-style sub-query enumeration of a wildcard fragment against the
+    VARIABLE dictionary (round-3, ROADMAP r2 #2): `container-*` compiles
+    to (literal-in-logtype OR dict-var-in-matching-set), which prunes
+    rows whose placeholder swallowed a non-matching variable BEFORE the
+    decode — with end-to-end equality against naive regex preserved."""
+    from fluent_bit_clp_spark.functions.clp_native import (
+        clp_encode,
+        var_dictionary,
+    )
+    from fluent_bit_clp_spark.operators.search import (
+        compile_fragment_var_predicates,
+        compile_relaxed_pattern,
+        search_encoded,
+    )
+
+    rows = [
+        (0, "Retrying container-a1 now"),   # dict var matches ^container-
+        (1, "Retrying container-b22 now"),  # dict var matches
+        (2, "Retrying pod-a1 now"),         # non-matching dict var
+        (3, "Retrying container- 7 now"),   # fragment literal + int var
+        (4, "Retrying gizmo9 now"),         # non-matching dict var
+        (5, "say container-a1 now"),        # wrong prefix text
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    enc = clp_encode(df).cache()
+    try:
+        vd = var_dictionary(enc)
+        q = "Retrying container-* now"
+        got = sorted(
+            r.id for r in search_encoded(enc, q, var_dictionary=vd).collect()
+        )
+        want = sorted(r.id for r in _naive(df, q).collect())
+        assert got == want == [0, 1, 3]
+        # the relaxed logtype prune alone keeps the swallowed-variable rows
+        relaxed_ids = {
+            r.id
+            for r in enc.where(
+                F.col("logtype").rlike(compile_relaxed_pattern(q))
+            ).collect()
+        }
+        assert {2, 4} <= relaxed_ids
+        # ...and the fragment predicate removes them before any decode
+        preds = compile_fragment_var_predicates(q, vd)
+        assert len(preds) == 1
+        tight = enc.where(F.col("logtype").rlike(compile_relaxed_pattern(q)))
+        for p in preds:
+            tight = tight.where(p)
+        tight_ids = {r.id for r in tight.collect()}
+        assert tight_ids == {0, 1, 3}
+        # purely numeric fragments could be encoded vars — must not compile
+        assert compile_fragment_var_predicates("value 4*", vd) == []
+        # suffix orientation: '*-b22' → token ENDS with the fragment
+        got2 = sorted(
+            r.id
+            for r in search_encoded(
+                enc, "Retrying *-b22 now", var_dictionary=vd
+            ).collect()
+        )
+        assert got2 == sorted(
+            r.id for r in _naive(df, "Retrying *-b22 now").collect()
+        ) == [1]
+    finally:
+        enc.unpersist()
+
+
 def test_var_predicates_skip_wildcard_fragments(spark):
     """Tokens touching a '*' must NOT compile to predicates (they may
     extend into longer data tokens)."""
