@@ -767,6 +767,71 @@ def q_t_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_h_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (fact-fact join planning at scale): segment filter
+    folds into the broadcast customer dim, date filters push into both
+    fact scans, lineitem⨝orders shuffles on the join key, top-10 via
+    sort+limit (deterministic tie-break).  Money is exact integer
+    10^-4-dollar units — ``round(x·100)`` cents arithmetic is bit-equal
+    across Spark/DuckDB where decimal casts and %.2f formatting are not
+    (HALF_UP vs banker's rounding on representable ties)."""
+    cutoff = "1998-01-01"
+    cust = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(_t(sf_dir, "orders"))
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).where(
+        F.col("l_shipdate") > cutoff
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+    )
+    agg = (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select(
+            "l_orderkey",
+            # parquet ts is TIMESTAMP_NTZ — cast before unix_millis
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_date_ms"
+            ),
+            "o_orderpriority",
+            "revenue_e4",
+        )
+    )
+    return agg.orderBy(F.col("revenue_e4").desc(), "l_orderkey").limit(10)
+
+
+def q_h_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with any lineitem shipped
+    more than 60 days after the order date, counted per priority.  The
+    semi-join shuffles both sides on o_orderkey (uniform key) and carries
+    no payload columns — the 100 TB-safe existence-check plan."""
+    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        "l_orderkey", "l_shipdate"
+    )
+    sel = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
 # --- TPC-H dim-table queries (VERDICT r1 #10: prove the enrich path on
 # the driver-shipped external dims, not just our synthetic lookups) ------
 
@@ -921,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_enrich_nation_rollup": q_h_enrich_nation_rollup,
         "h_pricing_summary": q_h_pricing_summary,
         "h_top_customers": q_h_top_customers,
+        "h_shipping_priority": q_h_shipping_priority,
+        "h_late_shipments": q_h_late_shipments,
         "m_media_features": q_m_media_features,
         "a_ivf_cells": q_a_ivf_cells,
         "a_ivf_topk": q_a_ivf_topk,
@@ -1253,6 +1320,30 @@ def oracle_sql() -> dict[str, str]:
             "select n_name, cast(rank as int) as rank, c_custkey, n_orders "
             "from r join nation n on r.c_nationkey = n.n_nationkey "
             "where rank <= 3"
+        ),
+        "h_shipping_priority": (
+            "with c as (select c_custkey from customer "
+            "where c_mktsegment = 'BUILDING'), "
+            "o as (select o_orderkey, o_custkey, o_orderdate, o_orderpriority "
+            "from orders where o_orderdate < timestamp '1998-01-01'), "
+            "l as (select l_orderkey, l_extendedprice, l_discount from lineitem "
+            "where l_shipdate > timestamp '1998-01-01'), "
+            "j as (select l.l_orderkey, o.o_orderdate, o.o_orderpriority, "
+            "cast(round(l_extendedprice * 100) as bigint) * "
+            "(100 - cast(round(l_discount * 100) as bigint)) as rev "
+            "from l join o on l.l_orderkey = o.o_orderkey "
+            "join c on o.o_custkey = c.c_custkey), "
+            "a as (select l_orderkey, epoch_ms(o_orderdate) as o_date_ms, "
+            "o_orderpriority, cast(sum(rev) as bigint) as revenue_e4 "
+            "from j group by 1, 2, 3) "
+            "select * from a order by revenue_e4 desc, l_orderkey limit 10"
+        ),
+        "h_late_shipments": (
+            "select o_orderpriority, count(*) as n_orders from orders o "
+            "where exists (select 1 from lineitem l "
+            "where l.l_orderkey = o.o_orderkey "
+            "and l.l_shipdate > o.o_orderdate + interval 60 day) "
+            "group by o_orderpriority"
         ),
         "t_decontaminate": (
             "with w as (select doc_id, regexp_extract_all(lower(text), "

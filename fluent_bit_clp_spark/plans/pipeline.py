@@ -196,6 +196,7 @@ def run_to_sinks(
     run_id: str = "run-0",
     cfg=None,
     fail_after_sinks: int | None = None,
+    emit_ir_chunks: bool = False,
 ) -> dict:
     """Materialize per-sink IR-stream tables + dictionaries + metrics.
 
@@ -306,6 +307,21 @@ def run_to_sinks(
     lineage.sink_metrics(written_tbl, run_id).write.mode("overwrite").parquet(
         os.path.join(out_dir, "sink_metrics")
     )
+    if emit_ir_chunks:
+        # The reference's actual output objects (per-chunk compressed IR
+        # streams, `<tag>_<index>_...zst`) — derived from the committed
+        # columnar output (narrow read-back; the encode never re-runs),
+        # with JobConfig.timezone serialized into every stream preamble.
+        from fluent_bit_clp_spark.operators.irstream import (
+            DEFAULT_TIMEZONE,
+            write_ir_chunks,
+        )
+
+        tz = cfg.timezone if cfg is not None else DEFAULT_TIMEZONE
+        mode = ingest.get("encoding_mode", "i64")
+        write_ir_chunks(written_tbl, encoding=mode, timezone=tz).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "ir_chunks"))
     return {
         "sinks": sorted(counts),
         "resumed_skipped": sorted(done),

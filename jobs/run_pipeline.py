@@ -47,6 +47,18 @@ def main() -> None:
         help="'4byte': CLP FourByteEncoding parity (int32 ints, 32-bit "
         "float property words; out-of-range values become dictionary vars)",
     )
+    ap.add_argument(
+        "--timezone",
+        default="America/Toronto",  # reference config default (config.go:35,62)
+        help="IANA timezone serialized into IR-stream preambles",
+    )
+    ap.add_argument(
+        "--emit-ir-chunks",
+        action="store_true",
+        help="additionally materialize the reference's per-chunk compressed "
+        "IR-stream blobs (<sink>_<chunk>_<time>_<id>.zst keys) under "
+        "<output>/ir_chunks, derived from the committed columnar output",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -61,6 +73,7 @@ def main() -> None:
         upload_size_mb=args.upload_size_mb,
         block_turns=args.block_turns,
         encoding_mode=args.encoding,
+        timezone=args.timezone,
     ).validate()
 
     spark = SparkSession.builder.appName("clp-transcript-pipeline").getOrCreate()
@@ -78,7 +91,10 @@ def main() -> None:
         )
     else:
         df = load_transcripts(spark, cfg.input_path)
-    result = run_to_sinks(spark, df, cfg.output_dir, cfg.run_id, cfg=cfg)
+    result = run_to_sinks(
+        spark, df, cfg.output_dir, cfg.run_id, cfg=cfg,
+        emit_ir_chunks=args.emit_ir_chunks,
+    )
     print(json.dumps(result))
     spark.stop()
 

@@ -294,6 +294,29 @@ def test_offsets_block_turns_mismatch_rejected(spark, tmp_path, tiny):
         encode_pipeline(df, spark, block_turns=8192, offsets=offs)
 
 
+def test_emit_ir_chunks_from_committed_output(spark, tmp_path, tiny):
+    """run_to_sinks(emit_ir_chunks=True) materializes the reference's
+    actual output objects (per-chunk compressed IR streams) from the
+    committed columnar sinks, with JobConfig.timezone in every preamble
+    and every committed event present."""
+    from fluent_bit_clp_spark.operators.irstream import (
+        read_ir_chunk,
+        read_ir_header,
+    )
+    from fluent_bit_clp_spark.sources.tables import JobConfig
+
+    out = str(tmp_path / "irout")
+    cfg = JobConfig(input_path="x", output_dir="y", timezone="Europe/Berlin")
+    run_to_sinks(spark, tiny, out, "run-ir", cfg=cfg, emit_ir_chunks=True)
+    chunks = spark.read.parquet(os.path.join(out, "ir_chunks")).collect()
+    assert chunks
+    n_events = 0
+    for c in chunks:
+        assert read_ir_header(bytes(c.ir_zstd))["timezone"] == "Europe/Berlin"
+        n_events += len(read_ir_chunk(bytes(c.ir_zstd)))
+    assert n_events == tiny.count()
+
+
 def test_stale_offsets_fail_loudly(spark, tmp_path, tiny):
     """ADVICE r2 (medium): an offsets table built from a DIFFERENT input
     snapshot (here: missing a conversation) must raise at execution, not

@@ -191,6 +191,42 @@ def test_fragment_var_dictionary_enumeration(spark):
         enc.unpersist()
 
 
+def test_fragment_enumeration_4byte_mode(spark):
+    """Fragment enumeration stays sound in 4byte mode (where out-of-range
+    numerics ALSO land in the dictionary — the numeric-skip rule covers
+    them by never constraining numeric fragments)."""
+    from fluent_bit_clp_spark.functions.clp_native import (
+        clp_encode,
+        var_dictionary,
+    )
+    from fluent_bit_clp_spark.operators.search import search_encoded
+
+    rows = [
+        (0, "job j-77 took 99999999999 us"),   # big int → dict var in 4byte
+        (1, "job j-88 took 5 us"),
+        (2, "job k-77 took 5 us"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    enc = clp_encode(df, mode="4byte")
+    vd = var_dictionary(enc)
+    got = sorted(
+        r.id
+        for r in search_encoded(
+            enc, "job j-* took * us", mode="4byte", var_dictionary=vd
+        ).collect()
+    )
+    assert got == [0, 1]
+    # numeric fragment over a value that is a dict var in 4byte mode:
+    # enumeration must not constrain it (could equally be encoded)
+    got2 = sorted(
+        r.id
+        for r in search_encoded(
+            enc, "job * took 9* us", mode="4byte", var_dictionary=vd
+        ).collect()
+    )
+    assert got2 == [0]
+
+
 def test_var_predicates_skip_wildcard_fragments(spark):
     """Tokens touching a '*' must NOT compile to predicates (they may
     extend into longer data tokens)."""
