@@ -213,6 +213,12 @@ def run_to_sinks(
     """
     from pyspark.sql import Observation
 
+    from fluent_bit_clp_spark.sources.tables import validate_output_store
+
+    # K3: fail on an unreachable/unwritable store in seconds, before any
+    # compute (the reference's HeadBucket-at-init contract).
+    validate_output_store(spark, out_dir)
+
     chunk_bytes = cfg.chunk_bytes if cfg is not None else CHUNK_BYTES
     bin_bytes = cfg.ir_bin_bytes if cfg is not None else IR_BIN_BYTES
     block_turns = cfg.block_turns if cfg is not None else DEFAULT_BLOCK_TURNS

@@ -20,6 +20,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class StoreNotReachable(RuntimeError):
+    """The output store's scheme/host cannot be resolved — the analogue of
+    the reference's HeadBucket 'bucket does not exist / no permission'
+    typed errors (`plugins/out_clp_s3_v2/internal/s3.go:58-114`)."""
+
+
+class StoreNotWritable(RuntimeError):
+    """The output store exists but refuses writes — the analogue of the
+    reference's credential/ACL validation failure
+    (`internal/outctx/context.go:92-112`)."""
+
+
+def validate_output_store(spark: SparkSession, out_dir: str) -> None:
+    """K3: probe the output store BEFORE any compute, with typed errors.
+
+    The reference issues a HeadBucket at plugin init so a typo'd bucket or
+    missing credentials fail in seconds, not after the first 16 MB chunk
+    (`internal/outctx/context.go:92-112`, `s3.go:58-114`).  Spark's
+    equivalent cross-store surface is the Hadoop FileSystem API — the same
+    probe works for ``file://``, ``hdfs://`` and ``s3a://`` (where it
+    becomes a real HeadBucket + PutObject under the hood): resolve the
+    filesystem for the path (reachability), then write-and-delete a
+    zero-byte marker (writability).  Cheap, idempotent, run at submit time
+    by :func:`plans.pipeline.run_to_sinks`.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    try:
+        jpath = jvm.org.apache.hadoop.fs.Path(out_dir)
+        fs = jpath.getFileSystem(hconf)
+    except Exception as e:  # unresolvable scheme / host / credentials
+        raise StoreNotReachable(
+            f"output store {out_dir!r} is not reachable: {e}"
+        ) from e
+    probe = jvm.org.apache.hadoop.fs.Path(out_dir, "_store_probe")
+    try:
+        out = fs.create(probe, True)  # overwrite=True: idempotent re-probe
+        out.close()
+        fs.delete(probe, False)
+    except Exception as e:
+        raise StoreNotWritable(
+            f"output store {out_dir!r} refused the write probe: {e}"
+        ) from e
+
+
 def load_table(spark: SparkSession, path_or_table: str, fmt: str = "auto") -> DataFrame:
     """Iceberg catalog table if addressable, else parquet path."""
     if fmt == "iceberg" or (fmt == "auto" and "." in path_or_table and "/" not in path_or_table):

@@ -294,6 +294,36 @@ def test_offsets_block_turns_mismatch_rejected(spark, tmp_path, tiny):
         encode_pipeline(df, spark, block_turns=8192, offsets=offs)
 
 
+def test_output_store_probe(spark, tmp_path, tiny):
+    """K3 (round 3): the HeadBucket-analogue store probe fails with typed
+    errors BEFORE any compute — unreachable scheme and unwritable
+    directory — and a healthy store passes without leaving the marker."""
+
+    from fluent_bit_clp_spark.sources.tables import (
+        StoreNotReachable,
+        StoreNotWritable,
+        validate_output_store,
+    )
+
+    ok = tmp_path / "ok"
+    ok.mkdir()
+    validate_output_store(spark, str(ok))
+    assert not (ok / "_store_probe").exists()  # probe cleaned up
+
+    with pytest.raises(StoreNotReachable):
+        validate_output_store(spark, "nosuchscheme://bucket/prefix")
+
+    # a regular FILE where a directory is needed (chmod-based read-only
+    # cases don't apply — tests run as root)
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    with pytest.raises(StoreNotWritable):
+        validate_output_store(spark, str(blocker / "sub"))
+    # run_to_sinks runs the probe before any compute
+    with pytest.raises(StoreNotReachable):
+        run_to_sinks(spark, tiny, "nosuchscheme://bucket/x", "run-probe")
+
+
 def test_emit_ir_chunks_from_committed_output(spark, tmp_path, tiny):
     """run_to_sinks(emit_ir_chunks=True) materializes the reference's
     actual output objects (per-chunk compressed IR streams) from the
