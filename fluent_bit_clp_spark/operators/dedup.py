@@ -250,23 +250,51 @@ def ngram_jaccard(
     )
 
 
+def drop_dups_from_pairs(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str,
+    transitive: bool = False,
+) -> DataFrame:
+    """Apply a verified duplicate-pair list to a corpus.
+
+    ``transitive=False`` drops the higher-id member of every pair — the
+    strict pairwise reading (a ~ b and b ~ c does NOT drop c unless c is
+    itself paired with a survivor).  ``transitive=True`` collapses whole
+    duplicate FAMILIES via connected components (large/small-star,
+    O(log n) rounds): every member except each component's minimum id is
+    dropped — the usual choice for crawl dedup, where chains of
+    iterative edits should collapse to one canonical doc.
+    """
+    if transitive:
+        from fluent_bit_clp_spark.operators.curation import dup_components
+
+        comp = dup_components(dup_pairs)
+        drops = (
+            comp.where(F.col("member") != F.col("canonical"))
+            .select(F.col("member").alias(id_col))
+        )
+    else:
+        drops = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     threshold: float = 0.8,
+    transitive: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH buckets → Jaccard verify →
-    drop the higher-id member of every duplicate pair."""
+    drop duplicates (pairwise higher-id, or whole families when
+    ``transitive=True`` — see :func:`drop_dups_from_pairs`)."""
     sigs = minhash_signatures(df, id_col, text_col)
     pairs = lsh_candidate_pairs(sigs, id_col)
-    dups = (
-        ngram_jaccard(df, pairs, id_col, text_col)
-        .where(F.col("jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+    verified = ngram_jaccard(df, pairs, id_col, text_col).where(
+        F.col("jaccard") >= threshold
     )
-    return df.join(dups, id_col, "left_anti")
+    return drop_dups_from_pairs(df, verified, id_col, transitive)
 
 
 def simhash(

@@ -109,6 +109,37 @@ def test_ivf_assignment(vectors, spark):
     assert len(by_id) == 50
 
 
+def test_drop_dups_pairwise_vs_transitive(spark):
+    """Pairwise keeps chain tails that aren't paired with a survivor;
+    transitive collapses the whole family to its min id (round 3)."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 3, 9, 20)], "doc_id bigint, text string"
+    )
+    # chain: 1~9 and 3~9 (no 1~3 pair); 20 untouched
+    pairs = spark.createDataFrame(
+        [(1, 9), (3, 9)], "id_a bigint, id_b bigint"
+    )
+    pairwise = sorted(
+        r.doc_id
+        for r in D.drop_dups_from_pairs(df, pairs, "doc_id").collect()
+    )
+    assert pairwise == [1, 3, 20]  # 9 dropped; 3 kept (never an id_b... )
+    transitive = sorted(
+        r.doc_id
+        for r in D.drop_dups_from_pairs(
+            df, pairs, "doc_id", transitive=True
+        ).collect()
+    )
+    assert transitive == [1, 20]  # family {1,3,9} → min id 1
+    # end-to-end: transitive minhash_dedup still keeps exact non-dups
+    docs = spark.createDataFrame(
+        [(i, f"totally unique document number {i} with words {i * 7}")
+         for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    assert D.minhash_dedup(docs, "doc_id", transitive=True).count() == 10
+
+
 def test_train_centroids_recovers_clusters(spark):
     """Lloyd's k-means with deterministic seeding recovers two
     well-separated clusters, and the trained quantizer plugs straight

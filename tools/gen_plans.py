@@ -76,6 +76,29 @@ What to look for:
     out.append("""
 ```
 
+## MinHash signatures (the dedup hot loop, round-3 shape)
+
+What to look for:
+- ONE `ArrowEvalPython` (the shingler UDF runs once — explode_outer
+  avoids the generator pre-filter double-eval);
+- the per-shingle hash is ONE md5 (`conv(substring(md5(...)))` appears
+  once), with the k=8 lanes as plain multiply-add-mod arithmetic inside
+  the SAME `HashAggregate`'s partial `min(...)` aggregates — no second
+  hash pass, no extra exchange;
+- one Exchange total (the doc_id groupBy), partial_min on the map side.
+
+```
+""")
+    from fluent_bit_clp_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"some words number {i} appear here") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    out.append(formatted(minhash_signatures(docs, "doc_id")).strip())
+    out.append("""
+```
+
 ## Scale notes
 
 - The offsets job re-reads only `octet_length(text)` + 4 narrow columns;
