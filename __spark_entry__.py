@@ -639,6 +639,36 @@ def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 observability (rows-only; binary payloads): per-sink IR-stream
+    compression accounting through the production write_ir_chunks path —
+    the reference's headline claim (CLP IR + compression vs raw bytes,
+    README.md:16-18) made measurable.  Deterministic: zstd encoding of
+    deterministic inputs."""
+    from fluent_bit_clp_spark.operators.irstream import write_ir_chunks
+
+    df = transcripts(spark, 2000)
+    enc = encode_pipeline(df, spark)
+    chunks = write_ir_chunks(enc)
+    return (
+        chunks.groupBy("sink")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_bytes_raw").alias("bytes_raw"),
+            F.sum("n_bytes_compressed").alias("bytes_compressed"),
+        )
+        .select(
+            "sink",
+            "n_events",
+            "bytes_raw",
+            "bytes_compressed",
+            F.round(
+                F.col("bytes_raw") / F.col("bytes_compressed"), 2
+            ).alias("compression_ratio"),
+        )
+    )
+
+
 def q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sketches (portable 60-bit hash — DuckDB-oracle-checked)."""
     return D.simhash(_docs(spark, sf_dir), "doc_id")
@@ -999,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_roundtrip_violations": q_pipeline_roundtrip_violations,
         "pipeline_roundtrip_violations_4byte": q_pipeline_roundtrip_violations_4byte,
         "pipeline_sink_counts": q_pipeline_sink_counts,
+        "pipeline_compression_stats": q_pipeline_compression_stats,
         "d_dup_components": q_d_dup_components,
     }
 

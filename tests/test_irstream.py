@@ -58,6 +58,37 @@ def test_read_ir_chunks_df_roundtrip(spark):
     assert got == want
 
 
+def test_zstd_codec_real_frames():
+    """The IR blob codec produces STANDARD zstd frames (magic 28 B5 2F FD)
+    in this container (pyarrow-bundled codec) — decompressible by any
+    zstd tooling, matching the reference's Zstd stage."""
+    from fluent_bit_clp_spark.operators.irstream import (
+        CODEC,
+        _compress,
+        _decompress,
+    )
+
+    assert CODEC == "zstd"
+    data = b"log line payload " * 500
+    comp = _compress(data)
+    assert comp[:4] == bytes.fromhex("28b52ffd")  # RFC 8878 frame magic
+    assert _decompress(comp) == data
+    assert len(comp) < len(data)
+
+
+def test_compression_stats_query(spark):
+    """The A3 observability query reports real compression: every sink's
+    stream compresses below raw IR bytes, events are all accounted."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["pipeline_compression_stats"](spark, "unused").collect()
+    assert rows
+    assert sum(r.n_events for r in rows) == 2007  # transcripts(2000) + edges
+    for r in rows:
+        assert r.bytes_compressed < r.bytes_raw, r.sink
+        assert r.compression_ratio > 1.0
+
+
 def test_timezone_in_preamble(spark):
     """VERDICT r2 #3: the configured IANA timezone is serialized into every
     stream's preamble (reference: internal/irzstd/disk.go:61, default

@@ -227,6 +227,31 @@ def test_fragment_enumeration_4byte_mode(spark):
     assert got2 == [0]
 
 
+def test_search_over_committed_sink_output(spark, tmp_path):
+    """Integration (round 3): search runs against the PRODUCTION tables —
+    the committed partitionBy(sink) parquet plus the written logtype and
+    variable dictionaries from run_to_sinks — not just in-memory encodes;
+    results equal naive regex over the original input text."""
+    import os
+
+    from fluent_bit_clp_spark.datagen import transcripts
+    from fluent_bit_clp_spark.plans.pipeline import run_to_sinks
+
+    df = transcripts(spark, 800, with_edge_rows=False)
+    out = str(tmp_path / "searchout")
+    run_to_sinks(spark, df, out, "run-s")
+    sinks = spark.read.parquet(os.path.join(out, "sinks"))
+    ltd = spark.read.parquet(os.path.join(out, "logtype_dict"))
+    vd = spark.read.parquet(os.path.join(out, "var_dict"))
+    q = "Task * started by user * at attempt *"
+    got = search_encoded(sinks, q, dictionary=ltd, var_dictionary=vd)
+    want = _naive(df, q)
+    assert got.count() == want.count() > 0
+    got_keys = {(r.conv_id, r.turn_idx) for r in got.collect()}
+    want_keys = {(r.conv_id, r.turn_idx) for r in want.collect()}
+    assert got_keys == want_keys
+
+
 def test_var_predicates_skip_wildcard_fragments(spark):
     """Tokens touching a '*' must NOT compile to predicates (they may
     extend into longer data tokens)."""
