@@ -643,8 +643,10 @@ def q_pipeline_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 observability (rows-only; binary payloads): per-sink IR-stream
     compression accounting through the production write_ir_chunks path —
     the reference's headline claim (CLP IR + compression vs raw bytes,
-    README.md:16-18) made measurable.  Deterministic: zstd encoding of
-    deterministic inputs."""
+    README.md:16-18) made measurable.  Row shape (6 sinks) and event/raw
+    byte counts are fully deterministic; compressed bytes additionally
+    depend on the codec build in the environment (zstandard vs pyarrow
+    zstd vs zlib fallback — hence rows-only, no value oracle)."""
     from fluent_bit_clp_spark.operators.irstream import write_ir_chunks
 
     df = transcripts(spark, 2000)

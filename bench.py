@@ -278,8 +278,8 @@ not), same materialized input ({results[levels[0]]['turns']} turns,
 sf={results[levels[0]]['sf']}), each level in its own JVM **CPU-pinned to
 exactly N cores** (`taskset -c 0-(N-1)`; unpinned, a local[N] JVM spreads
 GC/IO/Python-worker threads over all host cores and overstates the low
-leg), steady-state min-of-6 wall per invocation, best of {rounds}
-invocations per level:
+leg), steady-state wall = 1 untimed warmup + min of 8 timed repeats per
+invocation, best of {rounds} invocations per level:
 
 | parallelism | wall sec | turns/sec |
 |---|---|---|

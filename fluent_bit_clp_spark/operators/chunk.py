@@ -79,6 +79,19 @@ def block_sums(
     )
 
 
+def max_sink_blocks(blocks: DataFrame, sink_col: str = "sink") -> int:
+    """Largest per-sink block-summary count — the auto-pick signal shared
+    by :func:`block_offsets` and ``pipeline.write_block_offsets`` (one
+    implementation, review fix r3)."""
+    row = (
+        blocks.groupBy(sink_col)
+        .agg(F.count("*").alias("_n"))
+        .agg(F.max("_n"))
+        .first()
+    )
+    return row[0] or 0
+
+
 def offsets_from_sums(
     blocks: DataFrame,
     sink_col: str = "sink",
@@ -108,6 +121,7 @@ def block_offsets(
     block_turns: int = DEFAULT_BLOCK_TURNS,
     sink_col: str = "sink",
     distributed_scan: bool | None = False,
+    auto_threshold: int = AUTO_DISTRIBUTED_SCAN_BLOCKS,
 ) -> DataFrame:
     """The narrow summary branch as a standalone plan:
     ``(sink, conv_id, _block) → _block_start`` (exclusive byte prefix).
@@ -126,13 +140,7 @@ def block_offsets(
     """
     blocks = block_sums(df, block_turns, sink_col)
     if distributed_scan is None:
-        row = (
-            blocks.groupBy(sink_col)
-            .agg(F.count("*").alias("_n"))
-            .agg(F.max("_n"))
-            .first()
-        )
-        distributed_scan = (row[0] or 0) > AUTO_DISTRIBUTED_SCAN_BLOCKS
+        distributed_scan = max_sink_blocks(blocks, sink_col) > auto_threshold
     return offsets_from_sums(blocks, sink_col, distributed_scan)
 
 
@@ -179,8 +187,6 @@ def assign_chunks(
         blocks = offsets
     else:
         blocks = block_offsets(df, block_turns, sink_col, distributed_scan)
-    if broadcast_offsets:
-        blocks = F.broadcast(blocks)
     # LEFT join + loud failure on uncovered rows (ADVICE r2, medium): an
     # inner join against an offsets table built from a different/stale
     # input snapshot would silently DROP fact rows from the committed sink
@@ -188,7 +194,24 @@ def assign_chunks(
     # cover surfaces as a null _block_start and raises at execution time
     # instead of losing data.  (The block_turns metadata guard above
     # catches the granularity-mismatch case before any compute.)
-    out = df.join(blocks, [sink_col, "conv_id", "_block"], "left")
+    # NULL-SAFE equality on every key (review fix r3): a malformed row
+    # with NULL conv_id/turn_idx forms its own group in block_sums, and
+    # plain `=` would never match it back — falsely blaming the offsets
+    # table for a row the pipeline elsewhere tolerates (encode_failed).
+    blocks = blocks.select(
+        F.col(sink_col).alias("_b_sink"),
+        F.col("conv_id").alias("_b_conv"),
+        F.col("_block").alias("_b_block"),
+        "_block_start",
+    )
+    if broadcast_offsets:
+        blocks = F.broadcast(blocks)
+    cond = (
+        df[sink_col].eqNullSafe(blocks["_b_sink"])
+        & df["conv_id"].eqNullSafe(blocks["_b_conv"])
+        & df["_block"].eqNullSafe(blocks["_b_block"])
+    )
+    out = df.join(blocks, cond, "left").drop("_b_sink", "_b_conv", "_b_block")
     covered_start = F.coalesce(
         F.col("_block_start"),
         F.raise_error(

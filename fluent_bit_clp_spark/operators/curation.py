@@ -153,6 +153,15 @@ def dup_components(
     ``minhash_dedup``'s keep-min policy; every input node appears exactly
     once in the output (canonical nodes map to themselves).
     """
+    # every node in the pair list (incl. self-pair-only nodes — review
+    # fix r3: they have no real edge but must still appear in the output
+    # as their own canonical, per the every-input-node contract)
+    nodes = (
+        pairs.select(F.col(id_a).alias("n"))
+        .union(pairs.select(F.col(id_b).alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col(id_a) != F.col(id_b))
@@ -164,8 +173,8 @@ def dup_components(
     )
     n_edges = edges.count()
     if n_edges == 0:
-        return edges.select(
-            F.col("u").alias("member"), F.col("v").alias("canonical")
+        return nodes.select(
+            F.col("n").alias("member"), F.col("n").alias("canonical")
         )
     for _ in range(max_iters):
         # truncate lineage each round (iterative joins otherwise stack an
@@ -179,15 +188,16 @@ def dup_components(
         )
         edges, n_edges = stepped, n_stepped
         if unchanged:
-            # fixpoint: stars (member → canonical); add canonical self-rows
-            canon = edges.select(F.col("v")).distinct()
-            return edges.select(
+            # fixpoint: stars (member → canonical); add self-rows for
+            # every node not appearing as a star member (canonicals AND
+            # self-pair-only isolates)
+            members = edges.select(
                 F.col("u").alias("member"), F.col("v").alias("canonical")
-            ).union(
-                canon.select(
-                    F.col("v").alias("member"), F.col("v").alias("canonical")
-                )
             )
+            selves = nodes.join(
+                members, nodes.n == members.member, "left_anti"
+            ).select(F.col("n").alias("member"), F.col("n").alias("canonical"))
+            return members.union(selves)
     raise RuntimeError(
         f"dup_components did not converge in {max_iters} iterations"
     )

@@ -51,7 +51,12 @@ try:  # pragma: no cover - environment probe
         return _zstd.ZstdCompressor(level=3).compress(b)
 
     def _decompress(b: bytes) -> bytes:
-        return _zstd.ZstdDecompressor().decompress(b)
+        # streaming decompressobj, NOT one-shot decompress(): pyarrow's
+        # CompressedOutputStream emits frames without the content-size
+        # header field, which the one-shot API requires — a mixed
+        # writer/reader environment (pyarrow-written blob, zstandard
+        # reader) must still round-trip (review fix r3).
+        return _zstd.ZstdDecompressor().decompressobj().decompress(b)
 
     CODEC = "zstd"
 except ImportError:  # pragma: no cover
@@ -256,10 +261,20 @@ def read_ir_chunks_df(chunks: DataFrame) -> DataFrame:
     return chunks.mapInPandas(run, EVENT_SCHEMA)
 
 
-def _parse_header(raw: bytes) -> tuple[int, int, str, int]:
-    """(version, encoding, timezone, events_start_pos)."""
+def _parse_header(raw: bytes) -> tuple[int, int, str | None, int]:
+    """(version, encoding, timezone, events_start_pos).
+
+    Accepts v2 (round-2 blobs: no timezone field — surfaced as None) and
+    v3; anything else raises a typed error, never an assert (an assert
+    would vanish under PYTHONOPTIMIZE and misparse event bytes as a
+    header — review fix r3)."""
     version, enc = raw[0], raw[1]
-    assert version == VERSION
+    if version == 2:
+        return version, enc, None, 2
+    if version != VERSION:
+        raise ValueError(
+            f"unsupported IR stream version {version} (supported: 2, {VERSION})"
+        )
     (tz_len,) = struct.unpack_from("<H", raw, 2)
     tz = raw[4 : 4 + tz_len].decode("utf-8")
     return version, enc, tz, 4 + tz_len

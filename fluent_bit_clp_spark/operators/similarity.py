@@ -255,7 +255,9 @@ def train_centroids(
     cents = [list(r["v"]) for r in seeds]
     if len(cents) < c:
         raise ValueError(f"need at least c={c} vectors, got {len(cents)}")
-    dim = len(cents[0])
+    dims = {len(cent) for cent in cents}
+    if len(dims) != 1:
+        raise ValueError(f"ragged embedding dimensions in seed set: {dims}")
     for _ in range(iters):
         cdf = F.broadcast(
             spark.createDataFrame(

@@ -45,6 +45,7 @@ from fluent_bit_clp_spark.operators.chunk import (
     assign_chunks,
     block_offsets,
     block_sums,
+    max_sink_blocks,
     offsets_from_sums,
     with_row_bytes,
 )
@@ -128,13 +129,7 @@ def write_block_offsets(
     ).parquet(sums_path)
     sums = spark.read.parquet(sums_path)
     if distributed_scan is None:
-        row = (
-            sums.groupBy("sink")
-            .agg(F.count("*").alias("_n"))
-            .agg(F.max("_n"))
-            .first()
-        )
-        distributed_scan = (row[0] or 0) > auto_threshold
+        distributed_scan = max_sink_blocks(sums) > auto_threshold
     offs = offsets_from_sums(sums, distributed_scan=distributed_scan)
     # Stamp the granularity into the schema (survives the parquet
     # round-trip) so assign_chunks can reject a mismatched offsets table

@@ -106,8 +106,10 @@ def test_dup_components_long_path_graph(spark):
 
 def test_dup_components_transitive_family(spark):
     # a~b, b~c (no a~c pair): the family must still collapse to min id
+    # (42, 42): a self-pair-only node must still appear as its own
+    # canonical (review fix r3 — the star edge set never sees it)
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+        [(1, 2), (2, 3), (10, 11), (42, 42)], "id_a int, id_b int"
     )
     got = {r.member: r.canonical for r in dup_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 42: 42}

@@ -371,6 +371,34 @@ def test_stale_offsets_fail_loudly(spark, tmp_path, tiny):
         out.select("byte_start").collect()
 
 
+def test_null_key_rows_survive_offsets_join(spark, tmp_path):
+    """Review fix r3: a malformed row with NULL conv_id/turn_idx must flow
+    through assign_chunks (null-safe join keys) in BOTH the in-plan and
+    materialized-offsets paths — not trip the stale-offsets error."""
+    from fluent_bit_clp_spark.plans.pipeline import (
+        encode_pipeline,
+        write_block_offsets,
+    )
+
+    df = transcripts(spark, 200, with_edge_rows=False)
+    nulls = spark.createDataFrame(
+        [(None, None, "user", "null-key row 1", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01")))
+    src = str(tmp_path / "srcnull")
+    df.unionByName(nulls.select(*df.columns)).write.parquet(src)
+    full = spark.read.parquet(src)
+    # in-plan path
+    assert encode_pipeline(full, spark).count() == 201
+    # materialized-offsets (production) path
+    offs = write_block_offsets(spark, full, str(tmp_path / "onull"))
+    enc = encode_pipeline(full, spark, offsets=offs)
+    assert enc.count() == 201
+    assert enc.where(F.col("conv_id").isNull()).select(
+        "byte_start"
+    ).first()[0] is not None
+
+
 def test_write_block_offsets_auto_distributed(spark, tmp_path, tiny):
     """VERDICT r2 #7: distributed_scan=None auto-picks from the
     materialized summary size; forced-distributed output is bit-identical
