@@ -89,6 +89,41 @@ def test_dup_components_matches_union_find(spark):
     assert got == want
 
 
+def test_dup_components_randomized_vs_union_find(spark):
+    """Property sweep: many random graph shapes (sparse, dense, stars,
+    parallel chains, self-pairs) all agree with the union-find oracle —
+    guards the star-algorithm edge cases a single seed can miss."""
+    for seed, n_nodes, n_edges in [
+        (1, 12, 6), (2, 30, 45), (3, 40, 20), (4, 25, 80), (5, 16, 8),
+    ]:
+        rng = random.Random(seed)
+        edges = set()
+        while len(edges) < n_edges:
+            u = rng.randrange(n_nodes)
+            v = rng.randrange(n_nodes)
+            edges.add((u, v))  # self-pairs allowed on purpose
+        pairs = spark.createDataFrame(sorted(edges), "id_a int, id_b int")
+        got = {r.member: r.canonical for r in dup_components(pairs).collect()}
+
+        parent = {i: i for i in range(n_nodes)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        touched = {x for e in edges for x in e}
+        comp_min: dict[int, int] = {}
+        for x in touched:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: comp_min[find(x)] for x in touched}
+        assert got == want, (seed, sorted(edges)[:10])
+
+
 def test_dup_components_long_path_graph(spark):
     """VERDICT r2 #6: a 100-node path (worst-case diameter — e.g. a chain
     of iterative edits, each a near-dup of its neighbor) must converge
