@@ -1295,9 +1295,14 @@ def oracle_sql() -> dict[str, str]:
             "select id_a, id_b, round(jc, 6) as jaccard from j where jc >= 0.35"
         ),
         "d_embedding_near_dups": (
+            # small = the production max_bucket_size=200 hot-bucket drop
+            # (operators/dedup.py drop_oversized_buckets)
             "with v as (select vec_id as id, cast(embedding as double[]) as vec "
             "from embeddings), "
-            f"b as (select id, vec, {bucket_sql(8)} as bucket from v), "
+            f"b0 as (select id, vec, {bucket_sql(8)} as bucket from v), "
+            "small as (select bucket from b0 group by bucket "
+            "having count(*) <= 200), "
+            "b as (select b0.* from b0 join small using (bucket)), "
             "p as (select x.id as id_a, y.id as id_b, "
             "list_cosine_similarity(x.vec, y.vec) as cos "
             "from b x join b y using (bucket) where x.id < y.id) "

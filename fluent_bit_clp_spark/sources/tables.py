@@ -32,7 +32,9 @@ class StoreNotWritable(RuntimeError):
     (`internal/outctx/context.go:92-112`)."""
 
 
-def validate_output_store(spark: SparkSession, out_dir: str) -> None:
+def validate_output_store(
+    spark: SparkSession, out_dir: str, run_id: str = ""
+) -> None:
     """K3: probe the output store BEFORE any compute, with typed errors.
 
     The reference issues a HeadBucket at plugin init so a typo'd bucket or
@@ -44,7 +46,22 @@ def validate_output_store(spark: SparkSession, out_dir: str) -> None:
     filesystem for the path (reachability), then write-and-delete a
     zero-byte marker (writability).  Cheap, idempotent, run at submit time
     by :func:`plans.pipeline.run_to_sinks`.
+
+    The marker name is suffixed with ``run_id`` (ADVICE r3: a fixed key
+    let two concurrent runs probing the same prefix delete each other's
+    marker mid-probe — a latent false ``StoreNotWritable``); under Spark
+    Connect the classic ``_jvm`` bridge is absent, so the probe degrades
+    to a warning no-op rather than crashing the submit path.
     """
+    if not hasattr(spark, "_jvm") or spark._jvm is None:
+        import warnings
+
+        warnings.warn(
+            "validate_output_store: no JVM bridge on this session "
+            "(Spark Connect?) — skipping the output-store probe",
+            stacklevel=2,
+        )
+        return
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     try:
@@ -54,7 +71,11 @@ def validate_output_store(spark: SparkSession, out_dir: str) -> None:
         raise StoreNotReachable(
             f"output store {out_dir!r} is not reachable: {e}"
         ) from e
-    probe = jvm.org.apache.hadoop.fs.Path(out_dir, "_store_probe")
+    if not run_id:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
+    probe = jvm.org.apache.hadoop.fs.Path(out_dir, f"_store_probe-{run_id}")
     try:
         out = fs.create(probe, True)  # overwrite=True: idempotent re-probe
         out.close()

@@ -148,3 +148,15 @@ def test_dup_components_transitive_family(spark):
     )
     got = {r.member: r.canonical for r in dup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 42: 42}
+
+
+def test_dup_components_null_ids_dropped(spark):
+    """ADVICE r3: null-id pairs are explicitly dropped (stated behavior,
+    not an artifact of null-unsafe `!=`): a (NULL, 5) pair contributes no
+    connectivity and no output row for the NULL 'node'."""
+    pairs = spark.createDataFrame(
+        [(None, 5), (1, 2), (3, None), (None, None)],
+        "id_a int, id_b int",
+    )
+    got = {r.member: r.canonical for r in dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 3: 3}

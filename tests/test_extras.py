@@ -109,6 +109,44 @@ def test_ivf_assignment(vectors, spark):
     assert len(by_id) == 50
 
 
+def test_embedding_near_dups_hot_bucket_capped(spark):
+    """VERDICT r3 #2: a degenerate corpus where every vector lands in one
+    LSH bucket must NOT materialize ~N²/2 pairs — the oversized bucket is
+    dropped before the self-join (same cap as lsh_candidate_pairs)."""
+    n = 300  # > max_bucket_size=200, all identical → one bucket
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = D.embedding_near_dups(df, dim=4, threshold=0.9)
+    assert pairs.count() == 0  # hot bucket dropped entirely
+    # under the cap the same corpus yields its full pair set
+    small = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = D.embedding_near_dups(small, dim=4, threshold=0.9)
+    assert got.count() == 10  # C(5,2), all cosine = 1.0
+    assert all(abs(r.cosine - 1.0) < 1e-6 for r in got.collect())
+
+
+def test_ivf_assignments_no_window_in_plan(vectors, spark):
+    """VERDICT r3 #3: cell assignment must be the map-side-combinable
+    min(struct) groupBy, not an N×C row_number window."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.5]), (1, [-1.0, 0.0, 0.0, 0.5])],
+        "centroid_id int, embedding array<float>",
+    )
+    explained = (
+        SIM.ivf_assignments(vectors, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in explained
+    assert "Aggregate" in explained  # Sort/ObjectHashAggregate w/ partial min
+
+
 def test_drop_dups_pairwise_vs_transitive(spark):
     """Pairwise keeps chain tails that aren't paired with a survivor;
     transitive collapses the whole family to its min id (round 3)."""

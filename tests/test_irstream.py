@@ -134,3 +134,22 @@ def test_object_key_naming(spark):
     # deterministic: a second materialization produces identical keys
     again = {c.object_key for c in write_ir_chunks(enc).collect()}
     assert again == {c.object_key for c in chunks}
+
+
+def test_truncated_header_raises_typed_error():
+    """ADVICE r3: a truncated/corrupt preamble must raise the same typed
+    ValueError family as version/format violations — never a silently
+    short timezone or a downstream IndexError."""
+    import struct
+
+    import pytest
+
+    from fluent_bit_clp_spark.operators.irstream import VERSION, _parse_header
+
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_header(bytes([VERSION]))  # < 2 bytes
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_header(bytes([VERSION, 0, 9]))  # tz length field cut short
+    with pytest.raises(ValueError, match="truncated"):
+        # tz_len=50 but only 4 timezone bytes present
+        _parse_header(bytes([VERSION, 0]) + struct.pack("<H", 50) + b"Asia")
