@@ -32,7 +32,12 @@ from fluent_bit_clp_spark.functions.clp_native import (
     INT_RE,
     VAR_TOKEN_RE,
 )
-from fluent_bit_clp_spark.functions.levels import DEFAULT_LEVEL, LOG_LEVEL_ALIASES
+from fluent_bit_clp_spark.functions.levels import (
+    DEFAULT_LEVEL,
+    LOG_LEVEL_ALIASES,
+    ROLE_LOOKUP,
+    TOOL_LOOKUP,
+)
 from fluent_bit_clp_spark.functions import textstats as TS
 from fluent_bit_clp_spark.operators import dedup as D
 from fluent_bit_clp_spark.operators import similarity as SIM
@@ -630,7 +635,11 @@ def q_pipeline_roundtrip_violations_4byte(
 
 
 def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-sink routed-row counts over the transcript pipeline."""
+    """Per-sink routed-row counts over the transcript pipeline (north_rule
+    correctness aggregate).  Oracle-backed since round 4: DuckDB recomputes
+    the counts from the committed ``fixtures/transcripts2000`` parquet
+    (tools/make_fixtures.py) — which also pins the generator's
+    determinism, since this side still builds the table in-memory."""
     df = transcripts(spark, 2000)
     return (
         encode_pipeline(df, spark)
@@ -940,9 +949,11 @@ def q_h_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate families: connected components over the verified LSH
-    near-dup pairs (iterative min-label propagation — not expressible as
-    one SQL statement, so rows-only; the algorithm is pinned against a
-    union-find oracle in tests/test_curation.py)."""
+    near-dup pairs (O(log n) large/small-star).  Oracle-backed since
+    round 4 via a DuckDB recursive CTE (min-label reachability over the
+    same pair list — fine at oracle scale, never at 100 TB); the
+    distributed algorithm is additionally pinned against a union-find
+    oracle across random graph shapes in tests/test_curation.py."""
     from fluent_bit_clp_spark.operators.curation import dup_components
 
     pairs = q_d_lsh_pairs(spark, sf_dir)
@@ -1026,12 +1037,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_curation": q_t_curation,
         "t_decontaminate": q_t_decontaminate,
         "t_stratified_sample": q_t_stratified_sample,
-        # rows-only (our own generated transcript table — no DuckDB view;
-        # d_dup_components is iterative label propagation, not one SQL)
+        # rows-only by contract: the two 0-row round-trip gates (binary
+        # decode, no SQL analogue) and codec-dependent compression stats
         "pipeline_roundtrip_violations": q_pipeline_roundtrip_violations,
         "pipeline_roundtrip_violations_4byte": q_pipeline_roundtrip_violations_4byte,
-        "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_compression_stats": q_pipeline_compression_stats,
+        # hash-matched since round 4: sink counts against the committed
+        # transcripts(2000) parquet fixture; dup components against a
+        # DuckDB recursive min-label-reachability CTE
+        "pipeline_sink_counts": q_pipeline_sink_counts,
         "d_dup_components": q_d_dup_components,
     }
 
@@ -1082,6 +1096,19 @@ def oracle_sql() -> dict[str, str]:
             f"then ({1 << b})::bigint else 0::bigint end)"
             for b in range(n_planes)
         )
+
+    # sink key = f(role, tool) — CASE arms generated from the production
+    # lookup tables (functions/levels.py) so oracle and engine cannot
+    # diverge silently
+    _sink_class_case = "case role " + " ".join(
+        f"when '{r}' then '{s}'" for r, _, s in ROLE_LOOKUP
+    ) + " end"
+    _tool_tag_case = "case tool " + " ".join(
+        f"when '{t}' then '{g}'" for t, _, g in TOOL_LOOKUP
+    ) + " end"
+    _TRANSCRIPTS_FIXTURE = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "transcripts2000"
+    )
 
     return {
         "s1_msgpack_decode": (
@@ -1478,5 +1505,51 @@ def oracle_sql() -> dict[str, str]:
             "as rank from scored) "
             "select query_id, cast(rank as int) as rank, neighbor_id, "
             "round(cos, 6) as cosine from ranked where rank <= 3"
+        ),
+        "pipeline_sink_counts": (
+            # routed counts over the committed transcripts(2000) fixture
+            # (tools/make_fixtures.py) — the sink key is a pure function
+            # of (role, tool) (operators/route.py sink_column), with the
+            # CASE arms generated from the SAME lookup tables the
+            # production literal-map enrichment uses (VERDICT r3 #5:
+            # previously rows-only for lack of a DuckDB-visible copy of
+            # the generated table)
+            f"select case when role = 'tool' then 'tools.' || "
+            f"coalesce({_tool_tag_case}, 'unknown') "
+            f"else coalesce({_sink_class_case}, 'ops') end as sink, "
+            "count(*) as routed_rows "
+            f"from read_parquet('{_TRANSCRIPTS_FIXTURE}/*.parquet') "
+            "group by 1"
+        ),
+        "d_dup_components": (
+            # connected components via recursive min-label reachability
+            # over the verified near-dup pair list (the d_lsh_pairs chain
+            # verbatim) — oracle-scale only; the Spark side is the
+            # O(log n) large/small-star operator (VERDICT r3 #4: flips
+            # d_dup_components from rows-only to hash-matched)
+            f"with recursive {shingle_cte}, {sig_cte}, "
+            f"band as (select doc_id, unnest([{band_exprs}]) as bucket from sig), "
+            "small as (select bucket from band group by bucket "
+            "having count(*) <= 200), "
+            "sb as (select band.doc_id, band.bucket from band "
+            "join small using (bucket)), "
+            "cand as (select distinct l.doc_id as id_a, r.doc_id as id_b "
+            "from sb l join sb r using (bucket) where l.doc_id < r.doc_id), "
+            "sets as (select doc_id, list_distinct(shingles) as sh_set from sh), "
+            "pairs as (select id_a, id_b from cand "
+            "join sets a on id_a = a.doc_id join sets b on id_b = b.doc_id "
+            "where cast(len(list_intersect(a.sh_set, b.sh_set)) as double) / "
+            "len(list_distinct(list_concat(a.sh_set, b.sh_set))) >= 0.35), "
+            "nodes as (select id_a as n from pairs "
+            "union select id_b as n from pairs), "
+            "edges as (select id_a as u, id_b as v from pairs "
+            "where id_a != id_b "
+            "union select id_b as u, id_a as v from pairs "
+            "where id_a != id_b), "
+            "r as (select n as member, n as lbl from nodes "
+            "union "
+            "select e.u as member, r.lbl from edges e "
+            "join r on e.v = r.member) "
+            "select member, min(lbl) as canonical from r group by member"
         ),
     }
