@@ -634,6 +634,26 @@ def q_pipeline_roundtrip_violations_4byte(
     return _roundtrip_violations(spark, "4byte")
 
 
+GROK_HTTP_PATTERN = (
+    "%{HTTPMETHOD:verb} %{URIPATH:path}?page=%{INT:page} "
+    "took %{NUMBER:ms} ms"
+)
+
+
+def q_p_grok_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok-style named-pattern parsing (north_star: vectorized
+    grok/regex parse) over the transcript table: extract the HTTP-trace
+    template's fields via ONE compiled portable regex; the oracle runs
+    the identical regex (numbered groups) in DuckDB over the committed
+    transcripts fixture."""
+    from fluent_bit_clp_spark.operators.grok import grok_parse
+
+    df = transcripts(spark, 2000)
+    return grok_parse(
+        df, "text", GROK_HTTP_PATTERN, keep_unmatched=False
+    ).select("conv_id", "turn_idx", "verb", "path", "page", "ms")
+
+
 def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink routed-row counts over the transcript pipeline (north_rule
     correctness aggregate).  Oracle-backed since round 4: DuckDB recomputes
@@ -1045,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-matched since round 4: sink counts against the committed
         # transcripts(2000) parquet fixture; dup components against a
         # DuckDB recursive min-label-reachability CTE
+        "p_grok_http": q_p_grok_http,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "d_dup_components": q_d_dup_components,
     }
@@ -1109,6 +1130,10 @@ def oracle_sql() -> dict[str, str]:
     _TRANSCRIPTS_FIXTURE = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "fixtures", "transcripts2000"
     )
+    from fluent_bit_clp_spark.operators.grok import compile_grok
+
+    _grok_rx, _grok_fields = compile_grok(GROK_HTTP_PATTERN)
+    assert list(_grok_fields) == ["verb", "path", "page", "ms"]
 
     return {
         "s1_msgpack_decode": (
@@ -1505,6 +1530,17 @@ def oracle_sql() -> dict[str, str]:
             "as rank from scored) "
             "select query_id, cast(rank as int) as rank, neighbor_id, "
             "round(cos, 6) as cosine from ranked where rank <= 3"
+        ),
+        "p_grok_http": (
+            # identical compiled grok regex, numbered-group extraction
+            # (operators/grok.py compile_grok — portable Java/RE2 subset)
+            f"select conv_id, turn_idx, "
+            f"regexp_extract(text, '{_grok_rx}', 1) as verb, "
+            f"regexp_extract(text, '{_grok_rx}', 2) as path, "
+            f"regexp_extract(text, '{_grok_rx}', 3) as page, "
+            f"regexp_extract(text, '{_grok_rx}', 4) as ms "
+            f"from read_parquet('{_TRANSCRIPTS_FIXTURE}/*.parquet') "
+            f"where regexp_matches(text, '{_grok_rx}')"
         ),
         "pipeline_sink_counts": (
             # routed counts over the committed transcripts(2000) fixture

@@ -111,8 +111,13 @@ _ENC_BY_NAME = {"i64": ENC_I64, "4byte": ENC_4BYTE}
 CHUNK_SCHEMA = (
     "sink string, chunk_id bigint, n_events bigint, n_bytes_raw bigint, "
     "n_bytes_compressed bigint, first_ts_ms bigint, object_key string, "
-    "ir_zstd binary"
+    "object_tagging string, ir_zstd binary"
 )
+
+# S3 object-tag key the reference stamps on every uploaded object
+# (`internal/outctx/manager.go:18-19`); the tagging string below mirrors
+# manager.go:92's `fmt.Sprintf("%s=%s", s3TagKey, tag)` PutObject input.
+S3_TAG_KEY = "fluentBitTag"
 
 
 def _object_key(sink: str, chunk_id: int, first_ts_ms, blob: bytes) -> str:
@@ -189,6 +194,7 @@ def _serialize_group(pdf: pd.DataFrame, enc: int, tz: str) -> pd.DataFrame:
             "n_bytes_compressed": [len(comp)],
             "first_ts_ms": [first_ts],
             "object_key": [_object_key(sink, chunk_id, first_ts, comp)],
+            "object_tagging": [f"{S3_TAG_KEY}={sink}"],
             "ir_zstd": [comp],
         }
     )

@@ -1,0 +1,110 @@
+"""Grok-style named-pattern parsing (operators/grok.py)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.operators.grok import (
+    GROK_PATTERNS,
+    compile_grok,
+    grok_match,
+    grok_parse,
+)
+
+
+def test_compile_numbers_fields_in_template_order():
+    rx, fields = compile_grok("%{WORD:verb} took %{NUMBER:ms} ms")
+    assert fields == {"verb": 1, "ms": 2}
+    m = re.search(rx, "fetch took 12.5 ms")
+    assert m and m.group(1) == "fetch" and m.group(2) == "12.5"
+
+
+def test_compile_escapes_literals_and_skips_unnamed():
+    # '?' and '.' in literal text must not act as regex operators;
+    # unnamed %{INT} matches without allocating a capture group
+    rx, fields = compile_grok("v%{INT}?q=%{WORD:q}.end")
+    assert fields == {"q": 1}
+    assert re.search(rx, "v7?q=x.end").group(1) == "x"
+    assert re.search(rx, "v7Xq=xYend") is None
+
+
+def test_compile_rejects_unknown_and_duplicate():
+    with pytest.raises(KeyError, match="NOSUCH"):
+        compile_grok("%{NOSUCH:x}")
+    with pytest.raises(ValueError, match="duplicate"):
+        compile_grok("%{INT:a} %{INT:a}")
+
+
+def test_pattern_library_is_portable_syntax():
+    """Every library pattern must compile in Python re (a proxy for the
+    shared Java/RE2/Python portable subset: no named groups, no
+    lookbehind — those would raise here or diverge in RE2)."""
+    for name, body in GROK_PATTERNS.items():
+        re.compile(body)
+        assert "(?P<" not in body and "(?<" not in body, name
+        assert "(?=" not in body and "(?!" not in body, name
+
+
+def test_grok_parse_extracts_and_nulls_unmatched(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "GET /api/v2/users/17?page=3 took 4.25 ms"),
+            (1, "cache warmed and ready to serve traffic"),
+        ],
+        "id int, text string",
+    )
+    pat = "%{HTTPMETHOD:verb} %{URIPATH:path}?page=%{INT:page} took %{NUMBER:ms} ms"
+    out = {r.id: r for r in grok_parse(df, "text", pat).collect()}
+    assert out[0].verb == "GET"
+    assert out[0].path == "/api/v2/users/17"
+    assert out[0].page == "3" and out[0].ms == "4.25"
+    assert out[1].verb is None and out[1].ms is None  # unmatched → NULL
+    assert grok_parse(df, "text", pat, keep_unmatched=False).count() == 1
+    assert df.where(grok_match("text", pat)).count() == 1
+
+
+def test_grok_parse_prefix_and_extra_patterns(spark):
+    df = spark.createDataFrame([(0, "conn ab12cd34 up")], "id int, text string")
+    out = grok_parse(
+        df,
+        "text",
+        "conn %{CONNID:cid} up",
+        prefix="g_",
+        extra_patterns={"CONNID": "[0-9a-f]{8}"},
+    ).collect()[0]
+    assert out.g_cid == "ab12cd34"
+
+
+def test_loglevel_alternation_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "level=WARN x"), (1, "level=warning x"), (2, "level=noise x")],
+        "id int, text string",
+    )
+    out = {
+        r.id: r.level
+        for r in grok_parse(df, "text", "level=%{LOGLEVEL:level} x").collect()
+    }
+    assert out[0] == "WARN" and out[1] == "warning" and out[2] is None
+
+
+def test_grok_on_generated_transcripts_matches_python_re(spark):
+    """The compiled regex must behave identically JVM-side and in Python
+    re over real generated text (the portability contract the DuckDB
+    oracle also leans on)."""
+    from fluent_bit_clp_spark.datagen import transcripts
+
+    pat = "%{HTTPMETHOD:verb} %{URIPATH:path}?page=%{INT:page} took %{NUMBER:ms} ms"
+    rx, fields = compile_grok(pat)
+    df = transcripts(spark, 500, with_edge_rows=False)
+    rows = df.select("text").collect()
+    spark_hits = (
+        grok_parse(df, "text", pat, keep_unmatched=False)
+        .select("verb", "path", "page", "ms")
+        .collect()
+    )
+    py_hits = [m for r in rows if (m := re.search(rx, r.text))]
+    assert len(spark_hits) == len(py_hits) > 0
+    assert sorted((h.verb, h.path, h.page, h.ms) for h in spark_hits) == sorted(
+        (m.group(1), m.group(2), m.group(3), m.group(4)) for m in py_hits
+    )

@@ -153,3 +153,14 @@ def test_truncated_header_raises_typed_error():
     with pytest.raises(ValueError, match="truncated"):
         # tz_len=50 but only 4 timezone bytes present
         _parse_header(bytes([VERSION, 0]) + struct.pack("<H", 50) + b"Asia")
+
+
+def test_object_tagging_mirrors_reference(spark):
+    """K1 detail: every upload object carries the reference's
+    fluentBitTag=<tag> tagging string (manager.go:18-19,92-97) so a
+    downstream S3 lifecycle/filter rule keyed on the Fluent Bit tag works
+    identically against our objects."""
+    df = transcripts(spark, 100, with_edge_rows=False)
+    enc = encode_pipeline(df, spark)
+    for c in write_ir_chunks(enc).collect():
+        assert c.object_tagging == f"fluentBitTag={c.sink}"
