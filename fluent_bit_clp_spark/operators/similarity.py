@@ -212,12 +212,136 @@ def ivf_topk(
     )
 
 
+def _kmeanspp_weighted(cands: list[tuple[list[float], int]], c: int) -> list[list[float]]:
+    """Deterministic weighted k-means++ on the (tiny) k-means|| candidate
+    set, driver-side: first seed = heaviest candidate (ties: input
+    order), each next seed = the candidate maximizing weight × squared
+    distance to the chosen set (the greedy farthest-point variant of the
+    D² sampling step — deterministic where sampling would need RNG)."""
+    chosen = [max(range(len(cands)), key=lambda i: (cands[i][1], -i))]
+    while len(chosen) < c:
+        best_i, best_score = -1, -1.0
+        for i, (v, w) in enumerate(cands):
+            if i in chosen:
+                continue
+            d2 = min(
+                sum((a - b) * (a - b) for a, b in zip(v, cands[j][0]))
+                for j in chosen
+            )
+            score = w * d2
+            if score > best_score:
+                best_i, best_score = i, score
+        chosen.append(best_i)
+    return [list(cands[i][0]) for i in chosen]
+
+
+def kmeans_parallel_seeds(
+    vectors: DataFrame,
+    c: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means|| seeding (Bahmani et al., "Scalable
+    k-means++", VLDB'12) — better seeds than hash-spread on adversarial
+    clusterings, still only O(rounds) passes over the corpus and bounded
+    driver state (≤ 1 + rounds × oversample candidate vectors).
+
+    Per round: one aggregate for the total cost φ = Σ min-d², then a
+    deterministic analogue of the paper's independent sampling — keep x
+    with "probability" l·d²(x)/φ by comparing a per-(id, round) portable
+    hash bucket against that threshold (reproducible at any parallelism,
+    no RNG).  Candidates are then weighted by the size of their nearest-
+    candidate cell (the same map-side ``min_by`` shape as
+    :func:`ivf_assignments`) and reduced to ``c`` seeds driver-side by
+    weighted farthest-point k-means++.
+    """
+    from fluent_bit_clp_spark.functions.hashing import portable_hash64
+
+    spark = vectors.sparkSession
+    l = oversample or 2 * c
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    first = (
+        v.withColumn("_h", portable_hash64(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("empty corpus")
+    cands: list[list[float]] = [list(first[0]["v"])]
+    buckets = 1_000_000_000
+    for r in range(rounds):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, cand) for i, cand in enumerate(cands)],
+                "cand_id int, c_vec array<double>",
+            )
+        )
+        d2min = (
+            v.crossJoin(cdf)
+            .withColumn("d2", F.expr(_dist2_expr("v", "c_vec")))
+            .groupBy("_id")
+            .agg(F.min("d2").alias("d2"), F.first("v").alias("v"))
+        )
+        phi = d2min.agg(F.sum("d2").alias("s")).first()["s"]
+        if not phi or phi <= 0.0:  # corpus ⊆ candidate set already
+            break
+        # keep x iff hash_bucket(x, round) < l·d²(x)/φ · buckets
+        thresh = F.least(
+            F.lit(float(buckets)), F.col("d2") * (l * buckets / phi)
+        )
+        bucket = F.pmod(
+            portable_hash64(F.col("_id").cast("string"), 7000 + r),
+            F.lit(buckets),
+        ).cast("double")
+        new = (
+            d2min.where(bucket < thresh)
+            .select("v")
+            .collect()  # expected ≤ l rows per round — bounded
+        )
+        cands.extend(list(row["v"]) for row in new)
+    if len(cands) < c:
+        raise ValueError(
+            f"k-means|| produced {len(cands)} candidates < c={c}; "
+            "raise oversample/rounds or use seeding='hash-spread'"
+        )
+    # weight candidates by nearest-candidate cell size (one min_by pass)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, cand) for i, cand in enumerate(cands)],
+            "cand_id int, c_vec array<double>",
+        )
+    )
+    weights = {
+        row["cand_id"]: row["w"]
+        for row in (
+            v.crossJoin(cdf)
+            .withColumn("d2", F.expr(_dist2_expr("v", "c_vec")))
+            .groupBy("_id")
+            .agg(
+                F.min_by("cand_id", F.struct("d2", "cand_id")).alias("cand_id")
+            )
+            .groupBy("cand_id")
+            .agg(F.count("*").alias("w"))
+            .collect()  # ≤ len(cands) rows
+        )
+    }
+    weighted = [(cand, int(weights.get(i, 0))) for i, cand in enumerate(cands)]
+    return _kmeanspp_weighted(weighted, c)
+
+
 def train_centroids(
     vectors: DataFrame,
     c: int,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeding: str = "hash-spread",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means for IVF coarse quantizers.
 
@@ -229,12 +353,15 @@ def train_centroids(
     N × dim).  Collecting C × dim rows per round also keeps the plan
     flat — no iterative-lineage blowup.
 
-    Deterministic by construction: seeding takes the ``c`` vectors with
-    the smallest ``(portable_hash64(id), id)`` (a pseudo-random but
-    reproducible spread), assignment ties break on ``centroid_id``, and
-    empty cells retain their previous centroid.  (Mean arithmetic is
-    floating-point, so cross-parallelism results agree to summation
-    order — exact at the assignment level for separated clusters.)
+    Deterministic by construction: ``seeding="hash-spread"`` (default)
+    takes the ``c`` vectors with the smallest ``(portable_hash64(id),
+    id)`` (a pseudo-random but reproducible spread);
+    ``seeding="kmeans||"`` uses :func:`kmeans_parallel_seeds` (better on
+    adversarial clusterings, +O(rounds) corpus passes).  Assignment ties
+    break on ``centroid_id``, and empty cells retain their previous
+    centroid.  (Mean arithmetic is floating-point, so cross-parallelism
+    results agree to summation order — exact at the assignment level for
+    separated clusters.)
     Returns ``(centroid_id int, embedding array<double>)`` — feed to
     :func:`ivf_topk` / :func:`ivf_assignments`.
     """
@@ -245,14 +372,23 @@ def train_centroids(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    seeds = (
-        v.withColumn("_h", portable_hash64(F.col("_id").cast("string")))
-        .orderBy("_h", "_id")
-        .limit(c)
-        .select("v")
-        .collect()
-    )
-    cents = [list(r["v"]) for r in seeds]
+    if seeding == "kmeans||":
+        cents = kmeans_parallel_seeds(
+            vectors, c, id_col=id_col, vec_col=vec_col
+        )
+    elif seeding == "hash-spread":
+        seeds = (
+            v.withColumn("_h", portable_hash64(F.col("_id").cast("string")))
+            .orderBy("_h", "_id")
+            .limit(c)
+            .select("v")
+            .collect()
+        )
+        cents = [list(r["v"]) for r in seeds]
+    else:
+        raise ValueError(
+            f"unknown seeding {seeding!r} (use 'hash-spread' or 'kmeans||')"
+        )
     if len(cents) < c:
         raise ValueError(f"need at least c={c} vectors, got {len(cents)}")
     dims = {len(cent) for cent in cents}

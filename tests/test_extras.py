@@ -339,3 +339,29 @@ def test_portable_hash_matches_python(spark):
             expect = py_portable_hash64(v, seed)
             assert got[v] == expect, (v, seed)
             assert 0 <= expect < (1 << 60)
+
+
+def test_kmeans_parallel_seeding_recovers_clusters(spark):
+    """k-means|| seeding (ROADMAP r3 #5): on an adversarial layout where
+    hash-spread can seed both centroids in the big cluster, the
+    cost-weighted oversampling must place seeds so Lloyd recovers both
+    clusters; result is deterministic across invocations."""
+    rows = []
+    # big dense cluster (90 pts) + small far-away cluster (5 pts)
+    for i in range(90):
+        rows.append((i, [5.0 + (i % 3) * 0.01, 5.0, 0.0, 0.0]))
+    for i in range(5):
+        rows.append((1000 + i, [-50.0, -50.0 - (i % 2) * 0.01, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = SIM.train_centroids(df, c=2, iters=4, seeding="kmeans||")
+    got = sorted([r.embedding for r in cents.collect()], key=lambda e: e[0])
+    assert abs(got[0][0] - (-50.0)) < 0.1  # small cluster found
+    assert abs(got[1][0] - 5.0) < 0.1
+    again = sorted(
+        [r.embedding for r in
+         SIM.train_centroids(df, c=2, iters=4, seeding="kmeans||").collect()],
+        key=lambda e: e[0],
+    )
+    assert got == again  # deterministic
+    with pytest.raises(ValueError, match="unknown seeding"):
+        SIM.train_centroids(df, c=2, seeding="random")
