@@ -99,6 +99,31 @@ What to look for:
     out.append("""
 ```
 
+## IVF cell assignment (round-4 shape)
+
+What to look for (VERDICT r3 #3):
+- NO `Window` node: nearest-centroid collapse is a map-side-combinable
+  `min_by`/`min` aggregate (`ObjectHashAggregate` with a partial stage
+  before the Exchange), so the shuffle carries N rows, not N×C;
+- the centroid side enters via `BroadcastNestedLoopJoin` (tiny,
+  broadcast) — the corpus never shuffles for the join.
+
+```
+""")
+    from fluent_bit_clp_spark.operators.similarity import ivf_assignments
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 0.0, 1.0]) for i in range(100)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 1.0]), (1, [6.0, 4.0, 0.0, 1.0])],
+        "centroid_id int, embedding array<float>",
+    )
+    out.append(formatted(ivf_assignments(vecs, cents)).strip())
+    out.append("""
+```
+
 ## Scale notes
 
 - The offsets job re-reads only `octet_length(text)` + 4 narrow columns;
