@@ -634,6 +634,53 @@ def q_pipeline_roundtrip_violations_4byte(
     return _roundtrip_violations(spark, "4byte")
 
 
+def q_r_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value percentiles (the ops-dashboard rollup the
+    north_rule's "aggregate" stage feeds).  Exact ``percentile`` here so
+    DuckDB's ``quantile_cont`` (same R-7 linear interpolation) can pin
+    it; at 100 TB swap in ``percentile_approx`` (t-digest sketch, same
+    single map-side-combinable groupBy shape, no sort)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.expr("round(percentile(value, 0.5D), 6)").alias("p50"),
+            F.expr("round(percentile(value, 0.95D), 6)").alias("p95"),
+            F.expr("round(percentile(value, 0.99D), 6)").alias("p99"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_e_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every 'error' event attached to
+    the same user's most recent prior-or-simultaneous 'view' event — the
+    classic telemetry "what was the user looking at when it broke"
+    query.  One union-window shuffle in Spark; the oracle is DuckDB's
+    NATIVE ``ASOF LEFT JOIN``, so the composed operator is pinned
+    against an independent first-class implementation."""
+    from fluent_bit_clp_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    j = asof_join(errors, views, on=["user_id"], right_cols=["view_id"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("view_id").alias("prior_view_id"),
+        F.unix_millis("ts_right").alias("prior_view_ts_ms"),
+        (F.unix_millis("ts") - F.unix_millis("ts_right")).alias("gap_ms"),
+    )
+
+
 GROK_HTTP_PATTERN = (
     "%{HTTPMETHOD:verb} %{URIPATH:path}?page=%{INT:page} "
     "took %{NUMBER:ms} ms"
@@ -1066,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcripts(2000) parquet fixture; dup components against a
         # DuckDB recursive min-label-reachability CTE
         "p_grok_http": q_p_grok_http,
+        "e_asof_prior_view": q_e_asof_prior_view,
+        "r_latency_quantiles": q_r_latency_quantiles,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "d_dup_components": q_d_dup_components,
     }
@@ -1530,6 +1579,26 @@ def oracle_sql() -> dict[str, str]:
             "as rank from scored) "
             "select query_id, cast(rank as int) as rank, neighbor_id, "
             "round(cos, 6) as cosine from ranked where rank <= 3"
+        ),
+        "r_latency_quantiles": (
+            "select event_type, "
+            "round(quantile_cont(value, 0.5), 6) as p50, "
+            "round(quantile_cont(value, 0.95), 6) as p95, "
+            "round(quantile_cont(value, 0.99), 6) as p99, "
+            "count(*) as n from events group by event_type"
+        ),
+        "e_asof_prior_view": (
+            # DuckDB's native ASOF JOIN vs our union-window composition
+            "with e as (select event_id, user_id, ts from events "
+            "where event_type = 'error'), "
+            "v as (select event_id as view_id, user_id, ts from events "
+            "where event_type = 'view') "
+            "select e.event_id, e.user_id, epoch_ms(e.ts) as ts_ms, "
+            "v.view_id as prior_view_id, "
+            "epoch_ms(v.ts) as prior_view_ts_ms, "
+            "epoch_ms(e.ts) - epoch_ms(v.ts) as gap_ms "
+            "from e asof left join v "
+            "on e.user_id = v.user_id and e.ts >= v.ts"
         ),
         "p_grok_http": (
             # identical compiled grok regex, numbered-group extraction

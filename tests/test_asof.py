@@ -1,0 +1,102 @@
+"""As-of join operator (operators/asof.py) vs a brute-force oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, "l-a"),
+            (1, 25, "l-b"),
+            (1, 30, "l-c"),   # ts ties a right row → inclusive match
+            (2, 5, "l-d"),    # before any right row → NULL (backward)
+            (3, 50, "l-e"),   # key with no right rows at all
+        ],
+        "k int, ts bigint, lv string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 8, "r-w"),
+            (1, 20, "r-x"),
+            (1, 30, "r-y"),
+            (2, 7, "r-z"),
+        ],
+        "k int, ts bigint, rv string",
+    )
+    return left, right
+
+
+def test_backward_asof(sides):
+    left, right = sides
+    got = {
+        (r.k, r.ts): (r.ts_right, r.rv)
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert got[(1, 10)] == (8, "r-w")
+    assert got[(1, 25)] == (20, "r-x")
+    assert got[(1, 30)] == (30, "r-y")  # inclusive <=
+    assert got[(2, 5)] == (None, None)  # no prior right row
+    assert got[(3, 50)] == (None, None)  # key absent from right
+    assert len(got) == 5  # left join: every left row survives
+
+
+def test_forward_asof(sides):
+    left, right = sides
+    got = {
+        (r.k, r.ts): (r.ts_right, r.rv)
+        for r in asof_join(left, right, on=["k"], direction="forward").collect()
+    }
+    assert got[(1, 10)] == (20, "r-x")  # earliest right >= 10
+    assert got[(1, 30)] == (30, "r-y")  # inclusive >=
+    assert got[(1, 25)] == (30, "r-y")
+    assert got[(2, 5)] == (7, "r-z")
+    assert got[(3, 50)] == (None, None)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], direction="nearest")
+
+
+def test_asof_matches_brute_force_oracle(spark):
+    """Randomized-ish (hash-derived) corpus vs the O(L×R) definition."""
+    left = spark.range(200).select(
+        (F.col("id") % 7).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(80).select(
+        (F.col("id") % 7).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).alias("ts"),
+        F.col("id").alias("rid"),
+    )
+    # dedupe right (k, ts) so the match is uniquely defined
+    right = right.groupBy("k", "ts").agg(F.max("rid").alias("rid"))
+    got = {
+        r.lid: (r.ts_right, r.rid)
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    lrows = left.collect()
+    rrows = right.collect()
+    for lr in lrows:
+        cands = [r for r in rrows if r.k == lr.k and r.ts <= lr.ts]
+        want = (None, None)
+        if cands:
+            best = max(cands, key=lambda r: (r.ts, r.rid))
+            want = (best.ts, best.rid)
+        assert got[lr.lid] == want, lr
+
+
+def test_asof_single_shuffle_plan(sides):
+    """The union-window shape must cost ONE exchange (the window's hash
+    partition on the key) — no inequality-join row explosion."""
+    left, right = sides
+    plan = (
+        asof_join(left, right, on=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
