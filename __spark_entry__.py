@@ -634,6 +634,41 @@ def q_pipeline_roundtrip_violations_4byte(
     return _roundtrip_violations(spark, "4byte")
 
 
+def q_e_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/interval.py): purchases within
+    2 hours after a same-user signup — the attribution-window shape.
+    Spark side is a pure (user, time-bucket) EQUI-join + residual filter
+    (no inequality-join explosion); the oracle is DuckDB's plain
+    inequality join, pinning the bucketing as a no-op on results."""
+    from fluent_bit_clp_spark.operators.interval import range_join
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms", F.col("event_id").alias("purchase_id")
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts_ms").alias("s_ms"),
+            F.col("event_id").alias("signup_id"),
+        )
+        .withColumn("e_ms", F.col("s_ms") + F.lit(7_200_000))
+    )
+    j = range_join(
+        purchases, signups, ["user_id"], "ts_ms", "s_ms", "e_ms",
+        bucket_width=7_200_000,
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "signup_id",
+        (F.col("ts_ms") - F.col("s_ms")).alias("delay_ms"),
+    )
+
+
 def q_r_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type value percentiles (the ops-dashboard rollup the
     north_rule's "aggregate" stage feeds).  Exact ``percentile`` here so
@@ -1114,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB recursive min-label-reachability CTE
         "p_grok_http": q_p_grok_http,
         "e_asof_prior_view": q_e_asof_prior_view,
+        "e_range_attribution": q_e_range_attribution,
         "r_latency_quantiles": q_r_latency_quantiles,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "d_dup_components": q_d_dup_components,
@@ -1579,6 +1615,19 @@ def oracle_sql() -> dict[str, str]:
             "as rank from scored) "
             "select query_id, cast(rank as int) as rank, neighbor_id, "
             "round(cos, 6) as cosine from ranked where rank <= 3"
+        ),
+        "e_range_attribution": (
+            # plain inequality join — DuckDB's IEJoin handles it natively;
+            # pins our bucketized equi-join + residual filter composition
+            "with p as (select event_id as purchase_id, user_id, "
+            "epoch_ms(ts) as ts_ms from events "
+            "where event_type = 'purchase'), "
+            "s as (select event_id as signup_id, user_id, "
+            "epoch_ms(ts) as s_ms from events where event_type = 'signup') "
+            "select p.purchase_id, p.user_id, s.signup_id, "
+            "p.ts_ms - s.s_ms as delay_ms "
+            "from p join s on p.user_id = s.user_id "
+            "and p.ts_ms between s.s_ms and s.s_ms + 7200000"
         ),
         "r_latency_quantiles": (
             "select event_type, "
