@@ -356,6 +356,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     max_bucket_size: int = 200,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets bound
     the candidate set (same machinery as ANN), exact cosine verifies.
@@ -364,7 +365,15 @@ def embedding_near_dups(
     ``max_bucket_size`` drops degenerate hot buckets (low-variance
     embeddings, zero-vector clusters) before the self-join — without it
     one hot bucket reintroduces the ~N²/2 candidate blowup
-    (VERDICT r3 #2); raise ``n_planes`` for recall instead of the cap.
+    (VERDICT r3 #2).
+
+    ``multi_probe=True`` additionally probes, for every vector, the
+    ``n_planes`` buckets at Hamming distance 1 (one plane bit flipped) —
+    the standard multi-probe LSH recall fix for near-dups that straddle a
+    hyperplane: a pair differing in exactly one signature bit is found
+    via the flipped probe instead of being lost to the bucket split.
+    Candidate volume grows ×(n_planes+1) on the probing side only; the
+    probed side stays capped, so the blowup bound holds.
     """
     from fluent_bit_clp_spark.operators.similarity import cosine_expr, with_lsh_bucket
 
@@ -373,7 +382,21 @@ def embedding_near_dups(
         dim, n_planes, "_v",
     )
     v = drop_oversized_buckets(v, "lsh_bucket", max_bucket_size)
-    a, b = v.alias("a"), v.alias("b")
+    if multi_probe:
+        probes = F.array(
+            F.col("lsh_bucket"),
+            *[
+                F.expr(f"cast(lsh_bucket ^ {1 << b} as bigint)")
+                for b in range(n_planes)
+            ],
+        )
+        a = (
+            v.withColumn("lsh_bucket", F.explode(probes))
+            .alias("a")
+        )
+    else:
+        a = v.alias("a")
+    b = v.alias("b")
     pairs = (
         a.join(b, "lsh_bucket")
         .where(F.col("a._id") < F.col("b._id"))
@@ -383,6 +406,9 @@ def embedding_near_dups(
             F.expr(cosine_expr("a._v", "b._v")).alias("cosine"),
         )
     )
+    if multi_probe:
+        # a pair can meet through several probe buckets
+        pairs = pairs.distinct()
     return pairs.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )

@@ -365,3 +365,34 @@ def test_kmeans_parallel_seeding_recovers_clusters(spark):
     assert got == again  # deterministic
     with pytest.raises(ValueError, match="unknown seeding"):
         SIM.train_centroids(df, c=2, seeding="random")
+
+
+def test_embedding_near_dups_multi_probe_recall(spark):
+    """Multi-probe LSH (round 4): near-dup pairs that straddle ONE
+    hyperplane are recovered via the flipped-bit probe; single-probe
+    output is always a subset; both verify with exact cosine."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        pert = [x + rng.uniform(-0.02, 0.02) for x in base]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, pert))  # near-dup of base (cos ≈ 0.999)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    single = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dups(df, dim=8, threshold=0.99).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dups(
+            df, dim=8, threshold=0.99, multi_probe=True
+        ).collect()
+    }
+    assert single <= multi
+    planted = {(2 * i, 2 * i + 1) for i in range(120)}
+    # some planted pairs straddle exactly one hyperplane: multi-probe
+    # must recover strictly more of them than single-probe
+    assert len(multi & planted) > len(single & planted)
