@@ -1194,6 +1194,27 @@ def oracle_sql() -> dict[str, str]:
         portable_hash_sql(f"concat_ws('|', mh{2 * b}, mh{2 * b + 1})", 1000 + b)
         for b in range(4)
     )
+    # full banding → bucket-cap → candidate → Jaccard-verify chain,
+    # shared by d_lsh_pairs AND d_dup_components (review fix r4: the
+    # inline copy let the 200-cap / 0.35-threshold constants drift apart
+    # silently, making the CC oracle verify a different pair list)
+    lsh_pairs_chain = (
+        f"{shingle_cte}, {sig_cte}, "
+        f"band as (select doc_id, unnest([{band_exprs}]) as bucket from sig), "
+        "small as (select bucket from band group by bucket "
+        "having count(*) <= 200), "
+        "sb as (select band.doc_id, band.bucket from band "
+        "join small using (bucket)), "
+        "cand as (select distinct l.doc_id as id_a, r.doc_id as id_b "
+        "from sb l join sb r using (bucket) where l.doc_id < r.doc_id), "
+        "sets as (select doc_id, list_distinct(shingles) as sh_set from sh), "
+        "j as (select id_a, id_b, "
+        "cast(len(list_intersect(a.sh_set, b.sh_set)) as double) / "
+        "len(list_distinct(list_concat(a.sh_set, b.sh_set))) as jc "
+        "from cand join sets a on id_a = a.doc_id "
+        "join sets b on id_b = b.doc_id), "
+        "pairs as (select id_a, id_b, jc from j where jc >= 0.35)"
+    )
 
     def bucket_sql(n_planes: int, seed: int = 7, dim: int = 64) -> str:
         return " + ".join(
@@ -1415,21 +1436,8 @@ def oracle_sql() -> dict[str, str]:
             "else 0 end) as bigint) as simhash from v group by doc_id"
         ),
         "d_lsh_pairs": (
-            f"with {shingle_cte}, {sig_cte}, "
-            f"band as (select doc_id, unnest([{band_exprs}]) as bucket from sig), "
-            "small as (select bucket from band group by bucket "
-            "having count(*) <= 200), "
-            "sb as (select band.doc_id, band.bucket from band "
-            "join small using (bucket)), "
-            "cand as (select distinct l.doc_id as id_a, r.doc_id as id_b "
-            "from sb l join sb r using (bucket) where l.doc_id < r.doc_id), "
-            "sets as (select doc_id, list_distinct(shingles) as sh_set from sh), "
-            "j as (select id_a, id_b, "
-            "cast(len(list_intersect(a.sh_set, b.sh_set)) as double) / "
-            "len(list_distinct(list_concat(a.sh_set, b.sh_set))) as jc "
-            "from cand join sets a on id_a = a.doc_id "
-            "join sets b on id_b = b.doc_id) "
-            "select id_a, id_b, round(jc, 6) as jaccard from j where jc >= 0.35"
+            f"with {lsh_pairs_chain} "
+            "select id_a, id_b, round(jc, 6) as jaccard from pairs"
         ),
         "d_embedding_near_dups": (
             # small = the production max_bucket_size=200 hot-bucket drop
@@ -1681,19 +1689,7 @@ def oracle_sql() -> dict[str, str]:
             # verbatim) — oracle-scale only; the Spark side is the
             # O(log n) large/small-star operator (VERDICT r3 #4: flips
             # d_dup_components from rows-only to hash-matched)
-            f"with recursive {shingle_cte}, {sig_cte}, "
-            f"band as (select doc_id, unnest([{band_exprs}]) as bucket from sig), "
-            "small as (select bucket from band group by bucket "
-            "having count(*) <= 200), "
-            "sb as (select band.doc_id, band.bucket from band "
-            "join small using (bucket)), "
-            "cand as (select distinct l.doc_id as id_a, r.doc_id as id_b "
-            "from sb l join sb r using (bucket) where l.doc_id < r.doc_id), "
-            "sets as (select doc_id, list_distinct(shingles) as sh_set from sh), "
-            "pairs as (select id_a, id_b from cand "
-            "join sets a on id_a = a.doc_id join sets b on id_b = b.doc_id "
-            "where cast(len(list_intersect(a.sh_set, b.sh_set)) as double) / "
-            "len(list_distinct(list_concat(a.sh_set, b.sh_set))) >= 0.35), "
+            f"with recursive {lsh_pairs_chain}, "
             "nodes as (select id_a as n from pairs "
             "union select id_b as n from pairs), "
             "edges as (select id_a as u, id_b as v from pairs "

@@ -27,16 +27,30 @@ keys by time range (route.salted_repartition's block trick) if profiling
 shows one.
 
 Determinism: ties on ``(ts, _side)`` (several right rows at the same
-timestamp) resolve to the LARGEST right payload struct (field order =
-``right_ts`` then ``right_cols``) — stable across runs/parallelism.
-DuckDB's native ``ASOF JOIN`` reproduces this when right timestamps are
-unique per key (query ``e_asof_prior_view`` pins the equivalence).
+timestamp) resolve to the LARGEST struct of the ORDERABLE right columns
+(field order = ``right_ts`` then ``right_cols``; map-typed columns are
+excluded from the tie-break because Spark cannot sort them — include a
+unique id among ``right_cols`` for full determinism when payloads carry
+maps).  Stable across runs/parallelism.  DuckDB's native ``ASOF JOIN``
+reproduces this when right timestamps are unique per key (query
+``e_asof_prior_view`` pins the equivalence).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def asof_join(
@@ -63,6 +77,15 @@ def asof_join(
     }
 
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
+    # tie-break struct: the ORDERABLE subset of the payload (window sort
+    # rejects map types — review fix r4: a map column in right_cols made
+    # the whole join raise AnalysisException)
+    orderable = [
+        c
+        for c in right_cols
+        if not _contains_map(right.schema[c].dataType)
+    ]
+    tiebreak = F.struct(*[F.col(c) for c in orderable]).alias("_tb")
     l_side = left.select(
         *on,
         F.col(left_ts).alias("_asof_ts"),
@@ -71,6 +94,9 @@ def asof_join(
         F.lit(None).cast(
             right.select(payload).schema["_r"].dataType
         ).alias("_r"),
+        F.lit(None).cast(
+            right.select(tiebreak).schema["_tb"].dataType
+        ).alias("_tb"),
     )
     r_side = right.select(
         *on,
@@ -82,6 +108,7 @@ def asof_join(
             ).schema["_l"].dataType
         ).alias("_l"),
         payload,
+        tiebreak,
     )
     stacked = l_side.unionByName(r_side)
 
@@ -90,7 +117,9 @@ def asof_join(
         # inclusive <=; last() carries the latest-so-far right payload
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_asof_ts").asc(), F.col("_side").asc(), F.col("_r").asc())
+            .orderBy(
+                F.col("_asof_ts").asc(), F.col("_side").asc(), F.col("_tb").asc()
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
@@ -99,7 +128,7 @@ def asof_join(
         w = (
             Window.partitionBy(*on)
             .orderBy(
-                F.col("_asof_ts").desc(), F.col("_side").asc(), F.col("_r").asc()
+                F.col("_asof_ts").desc(), F.col("_side").asc(), F.col("_tb").asc()
             )
             .rowsBetween(Window.unboundedPreceding, 0)
         )

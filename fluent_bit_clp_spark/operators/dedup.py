@@ -406,9 +406,12 @@ def embedding_near_dups(
             F.expr(cosine_expr("a._v", "b._v")).alias("cosine"),
         )
     )
-    if multi_probe:
-        # a pair can meet through several probe buckets
-        pairs = pairs.distinct()
+    # no distinct needed, even with multi_probe: each vector's probe
+    # values (base, base^bit_b) are pairwise distinct and the probed
+    # side holds each vector once in its base bucket, so an ordered
+    # pair can meet on at most one bucket value (review fix r4: a
+    # distinct() here was a pure extra shuffle of the widest
+    # intermediate)
     return pairs.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )

@@ -135,9 +135,19 @@ def grok_parse(
     semantics: an unparsed record keeps flowing with no extracted keys);
     ``keep_unmatched=False`` drops them instead.  Casting extracted
     fields (INT/NUMBER → numeric) is left to the caller — grok itself is
-    string-typed.
+    string-typed.  A field whose output name collides with an existing
+    column raises (review fix r4: ``withColumn`` would silently
+    overwrite source data) — disambiguate with ``prefix``.
     """
     rx, fields = compile_grok(pattern, extra_patterns)
+    clashes = sorted(
+        {prefix + f for f in fields} & set(df.columns)
+    )
+    if clashes:
+        raise ValueError(
+            f"grok fields would overwrite existing columns {clashes}; "
+            "set prefix= to disambiguate"
+        )
     col = F.col(text_col)
     matched = col.rlike(rx)
     out = df

@@ -49,18 +49,38 @@ def validate_output_store(
 
     The marker name is suffixed with ``run_id`` (ADVICE r3: a fixed key
     let two concurrent runs probing the same prefix delete each other's
-    marker mid-probe — a latent false ``StoreNotWritable``); under Spark
-    Connect the classic ``_jvm`` bridge is absent, so the probe degrades
-    to a warning no-op rather than crashing the submit path.
+    marker mid-probe — a latent false ``StoreNotWritable``).  Under
+    Spark Connect the classic ``_jvm`` bridge is absent; the probe then
+    writes a zero-row marker table through the DataFrame writer instead
+    (review fix r4: a warning no-op silently gave up the K3
+    fail-before-compute contract).  That marker directory is removed
+    best-effort for local paths and otherwise left behind — it is
+    zero-row, underscore-prefixed (ignored by Spark/Hive readers), and
+    overwritten by the next probe of the same run_id.
     """
-    if not hasattr(spark, "_jvm") or spark._jvm is None:
-        import warnings
+    if not run_id:
+        import uuid
 
-        warnings.warn(
-            "validate_output_store: no JVM bridge on this session "
-            "(Spark Connect?) — skipping the output-store probe",
-            stacklevel=2,
-        )
+        run_id = uuid.uuid4().hex[:12]
+    if not hasattr(spark, "_jvm") or spark._jvm is None:
+        import os
+        import shutil
+
+        marker = out_dir.rstrip("/") + f"/_store_probe-{run_id}"
+        try:
+            spark.range(0).write.mode("overwrite").parquet(marker)
+        except Exception as e:
+            msg = str(e)
+            if "FileSystem" in msg or "scheme" in msg.lower():
+                raise StoreNotReachable(
+                    f"output store {out_dir!r} is not reachable: {e}"
+                ) from e
+            raise StoreNotWritable(
+                f"output store {out_dir!r} refused the write probe: {e}"
+            ) from e
+        local = marker.removeprefix("file:")
+        if os.path.isdir(local):  # best-effort cleanup, local stores only
+            shutil.rmtree(local, ignore_errors=True)
         return
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -71,10 +91,6 @@ def validate_output_store(
         raise StoreNotReachable(
             f"output store {out_dir!r} is not reachable: {e}"
         ) from e
-    if not run_id:
-        import uuid
-
-        run_id = uuid.uuid4().hex[:12]
     probe = jvm.org.apache.hadoop.fs.Path(out_dir, f"_store_probe-{run_id}")
     try:
         out = fs.create(probe, True)  # overwrite=True: idempotent re-probe

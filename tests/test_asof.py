@@ -100,3 +100,15 @@ def test_asof_single_shuffle_plan(sides):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_asof_with_map_payload_column(spark):
+    """Review fix r4: a map-typed right column (e.g. props) must not
+    break the window sort — tie-break uses only orderable columns."""
+    left = spark.createDataFrame([(1, 10, "l")], "k int, ts bigint, lv string")
+    right = spark.createDataFrame(
+        [(1, 5, 100)], "k int, ts bigint, rid bigint"
+    ).withColumn("props", F.create_map(F.lit("a"), F.lit("b")))
+    got = asof_join(left, right, on=["k"]).collect()[0]
+    assert got.ts_right == 5 and got.rid == 100
+    assert dict(got.props) == {"a": "b"}

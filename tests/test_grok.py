@@ -108,3 +108,17 @@ def test_grok_on_generated_transcripts_matches_python_re(spark):
     assert sorted((h.verb, h.path, h.page, h.ms) for h in spark_hits) == sorted(
         (m.group(1), m.group(2), m.group(3), m.group(4)) for m in py_hits
     )
+
+
+def test_grok_parse_rejects_column_collision(spark):
+    """Review fix r4: a grok field colliding with an existing column must
+    raise instead of silently overwriting source data."""
+    df = spark.createDataFrame(
+        [(0, "GET /x?page=1 took 2 ms", "/keep/me")],
+        "id int, text string, path string",
+    )
+    pat = "%{HTTPMETHOD:verb} %{URIPATH:path}?page=%{INT:page} took %{NUMBER:ms} ms"
+    with pytest.raises(ValueError, match="overwrite existing columns"):
+        grok_parse(df, "text", pat)
+    out = grok_parse(df, "text", pat, prefix="g_").collect()[0]
+    assert out.path == "/keep/me" and out.g_path == "/x"
