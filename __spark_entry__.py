@@ -413,6 +413,27 @@ def q_r_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r_window_rates_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event rates over 10-minute HOPPING windows sliding by 5
+    minutes — Spark's native ``F.window(ts, width, slide)`` (each event
+    lands in width/slide = 2 windows).  The oracle reproduces Spark's
+    epoch-aligned window starts by expanding each event to its two
+    covering slide-aligned starts."""
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = F.window("ts", "600 seconds", "300 seconds")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def q_k1_sink_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1/R3: per-sink upload-object inventory (monotone chunk counter)."""
     return (
@@ -1150,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_grok_http": q_p_grok_http,
         "e_asof_prior_view": q_e_asof_prior_view,
         "e_range_attribution": q_e_range_attribution,
+        "r_window_rates_sliding": q_r_window_rates_sliding,
         "r_latency_quantiles": q_r_latency_quantiles,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "d_dup_components": q_d_dup_components,
@@ -1238,7 +1260,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from fluent_bit_clp_spark.operators.grok import compile_grok
 
-    _grok_rx, _grok_fields = compile_grok(GROK_HTTP_PATTERN)
+    _grok_rx, _grok_fields, _ = compile_grok(GROK_HTTP_PATTERN)
     assert list(_grok_fields) == ["verb", "path", "page", "ms"]
 
     return {
@@ -1636,6 +1658,15 @@ def oracle_sql() -> dict[str, str]:
             "p.ts_ms - s.s_ms as delay_ms "
             "from p join s on p.user_id = s.user_id "
             "and p.ts_ms between s.s_ms and s.s_ms + 7200000"
+        ),
+        "r_window_rates_sliding": (
+            # each event belongs to exactly two 600s windows on the 300s
+            # slide grid: starts floor(ms/300000)*300000 and that - 300000
+            "with e as (select event_type, epoch_ms(ts) as ms from events), "
+            "w as (select event_type, (ms // 300000 - o) * 300000 as ws "
+            "from e cross join (select unnest([0, 1]) as o)) "
+            "select ws as window_start_ms, event_type, "
+            "count(*) as n_events from w group by 1, 2"
         ),
         "r_latency_quantiles": (
             "select event_type, "

@@ -69,7 +69,19 @@ GROK_PATTERNS: dict[str, str] = {
 # backslash survives verbatim on both sides)
 _META = set(".^$*+?()[]{}|\\")
 
-_TOKEN_RE = re.compile("%\\{([A-Z0-9_]+)(?::([A-Za-z_][A-Za-z0-9_]*))?\\}")
+_TOKEN_RE = re.compile(
+    "%\\{([A-Z0-9_]+)(?::([A-Za-z_][A-Za-z0-9_]*))?(?::([a-z]+))?\\}"
+)
+
+# Logstash-style type-conversion suffixes (%{INT:page:int}) → Spark cast
+# targets.  Anything else after the second colon is rejected loudly.
+_CAST_TYPES = {
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "bool": "boolean",
+}
 
 
 def _escape_literal(text: str) -> str:
@@ -78,24 +90,28 @@ def _escape_literal(text: str) -> str:
 
 def compile_grok(
     pattern: str, extra_patterns: dict[str, str] | None = None
-) -> tuple[str, dict[str, int]]:
-    """``"%{WORD:verb} took %{NUMBER:ms} ms"`` →
-    ``(regex, {"verb": 1, "ms": 2})``.
+) -> tuple[str, dict[str, int], dict[str, str]]:
+    """``"%{WORD:verb} took %{NUMBER:ms:float} ms"`` →
+    ``(regex, {"verb": 1, "ms": 2}, {"ms": "float"})``.
 
     Named fields become numbered capture groups (in template order);
-    unnamed ``%{NAME}`` uses compile to non-capturing groups.  Unknown
-    pattern names raise ``KeyError`` with the offending token.
+    unnamed ``%{NAME}`` uses compile to non-capturing groups; the
+    optional Logstash-style third segment (``:int``/``:long``/``:float``
+    /``:double``/``:bool``) records a cast target applied by
+    :func:`grok_parse`.  Unknown pattern names raise ``KeyError`` with
+    the offending token; unknown cast types raise ``ValueError``.
     """
     lib = dict(GROK_PATTERNS)
     if extra_patterns:
         lib.update(extra_patterns)
     out: list[str] = []
     fields: dict[str, int] = {}
+    casts: dict[str, str] = {}
     pos = 0
     group = 0
     for m in _TOKEN_RE.finditer(pattern):
         out.append(_escape_literal(pattern[pos : m.start()]))
-        name, field = m.group(1), m.group(2)
+        name, field, cast = m.group(1), m.group(2), m.group(3)
         if name not in lib:
             raise KeyError(f"unknown grok pattern %{{{name}}} in {pattern!r}")
         body = lib[name]
@@ -105,18 +121,28 @@ def compile_grok(
             group += 1
             fields[field] = group
             out.append(f"({body})")
+            if cast:
+                if cast not in _CAST_TYPES:
+                    raise ValueError(
+                        f"unknown grok cast type {cast!r} in {pattern!r} "
+                        f"(supported: {sorted(_CAST_TYPES)})"
+                    )
+                casts[field] = _CAST_TYPES[cast]
         else:
+            # cast can't appear without a field: a lone ":xyz" segment is
+            # consumed by the field group first, and "::xyz" fails the
+            # token regex entirely (left as literal text)
             out.append(f"(?:{body})")
         pos = m.end()
     out.append(_escape_literal(pattern[pos:]))
-    return "".join(out), fields
+    return "".join(out), fields, casts
 
 
 def grok_match(text_col: str | Column, pattern: str) -> Column:
     """Boolean: does the compiled grok pattern match anywhere in the text
     (grok's default floating match — anchor explicitly with ``^``/``$``
     in the template if needed)."""
-    rx, _ = compile_grok(pattern)
+    rx, _, _ = compile_grok(pattern)
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return col.rlike(rx)
 
@@ -133,13 +159,14 @@ def grok_parse(
 
     Non-matching rows get NULL in every field (Fluent Bit's parser
     semantics: an unparsed record keeps flowing with no extracted keys);
-    ``keep_unmatched=False`` drops them instead.  Casting extracted
-    fields (INT/NUMBER → numeric) is left to the caller — grok itself is
-    string-typed.  A field whose output name collides with an existing
-    column raises (review fix r4: ``withColumn`` would silently
-    overwrite source data) — disambiguate with ``prefix``.
+    ``keep_unmatched=False`` drops them instead.  Fields default to
+    string; a ``%{INT:page:int}``-style suffix casts the extracted
+    column (Logstash grok's type-conversion syntax).  A field whose
+    output name collides with an existing column raises (review fix r4:
+    ``withColumn`` would silently overwrite source data) — disambiguate
+    with ``prefix``.
     """
-    rx, fields = compile_grok(pattern, extra_patterns)
+    rx, fields, casts = compile_grok(pattern, extra_patterns)
     clashes = sorted(
         {prefix + f for f in fields} & set(df.columns)
     )
@@ -152,10 +179,10 @@ def grok_parse(
     matched = col.rlike(rx)
     out = df
     for field, idx in fields.items():
-        out = out.withColumn(
-            prefix + field,
-            F.when(matched, F.regexp_extract(col, rx, idx)),
-        )
+        extracted = F.when(matched, F.regexp_extract(col, rx, idx))
+        if field in casts:
+            extracted = extracted.cast(casts[field])
+        out = out.withColumn(prefix + field, extracted)
     if not keep_unmatched:
         out = out.where(matched)
     return out

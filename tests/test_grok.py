@@ -14,7 +14,8 @@ from fluent_bit_clp_spark.operators.grok import (
 
 
 def test_compile_numbers_fields_in_template_order():
-    rx, fields = compile_grok("%{WORD:verb} took %{NUMBER:ms} ms")
+    rx, fields, casts = compile_grok("%{WORD:verb} took %{NUMBER:ms} ms")
+    assert casts == {}
     assert fields == {"verb": 1, "ms": 2}
     m = re.search(rx, "fetch took 12.5 ms")
     assert m and m.group(1) == "fetch" and m.group(2) == "12.5"
@@ -23,7 +24,7 @@ def test_compile_numbers_fields_in_template_order():
 def test_compile_escapes_literals_and_skips_unnamed():
     # '?' and '.' in literal text must not act as regex operators;
     # unnamed %{INT} matches without allocating a capture group
-    rx, fields = compile_grok("v%{INT}?q=%{WORD:q}.end")
+    rx, fields, _ = compile_grok("v%{INT}?q=%{WORD:q}.end")
     assert fields == {"q": 1}
     assert re.search(rx, "v7?q=x.end").group(1) == "x"
     assert re.search(rx, "v7Xq=xYend") is None
@@ -95,7 +96,7 @@ def test_grok_on_generated_transcripts_matches_python_re(spark):
     from fluent_bit_clp_spark.datagen import transcripts
 
     pat = "%{HTTPMETHOD:verb} %{URIPATH:path}?page=%{INT:page} took %{NUMBER:ms} ms"
-    rx, fields = compile_grok(pat)
+    rx, fields, _ = compile_grok(pat)
     df = transcripts(spark, 500, with_edge_rows=False)
     rows = df.select("text").collect()
     spark_hits = (
@@ -122,3 +123,21 @@ def test_grok_parse_rejects_column_collision(spark):
         grok_parse(df, "text", pat)
     out = grok_parse(df, "text", pat, prefix="g_").collect()[0]
     assert out.path == "/keep/me" and out.g_path == "/x"
+
+
+def test_grok_type_cast_suffix(spark):
+    """Logstash grok type conversion: %{INT:page:int} casts the
+    extracted column; unmatched rows stay NULL in the cast type."""
+    df = spark.createDataFrame(
+        [(0, "GET /x?page=3 took 4.25 ms"), (1, "no match here")],
+        "id int, text string",
+    )
+    pat = "%{HTTPMETHOD:verb} %{URIPATH:path}?page=%{INT:page:int} took %{NUMBER:ms:double} ms"
+    out = grok_parse(df, "text", pat)
+    types = dict(out.dtypes)
+    assert types["page"] == "int" and types["ms"] == "double"
+    rows = {r.id: r for r in out.collect()}
+    assert rows[0].page == 3 and abs(rows[0].ms - 4.25) < 1e-9
+    assert rows[1].page is None and rows[1].ms is None
+    with pytest.raises(ValueError, match="unknown grok cast"):
+        compile_grok("%{INT:n:decimal}")
