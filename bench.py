@@ -148,7 +148,11 @@ def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
         headline_sec = min(head_s)
         # coherence guard: compute-only is a strict subset of the full
         # job, so its reported min may not exceed the headline (under
-        # sustained noise the two independent mins can invert)
+        # sustained noise the two independent mins can invert).  When the
+        # clamp actually fires the artifact says so (ADVICE r4: a silent
+        # clamp reports sink_write_sec=0.0 while hiding the incoherence
+        # it papers over) — and a fired clamp IS noise evidence.
+        clamped = min(noop_s) > headline_sec
         noop_sec = min(min(noop_s), headline_sec)
         n_rows = spark.read.parquet(out_path).count()
 
@@ -209,7 +213,11 @@ def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
             n: round(max(s) / max(min(s), 1e-9), 2) for n, s in samples.items()
         }
         noisy_queries = sorted(n for n, v in qspread.items() if v > NOISY_SPREAD)
-        noisy = bool(noisy_queries) or max(probes) > NOISY_SPREAD * calib_ref
+        noisy = (
+            bool(noisy_queries)
+            or max(probes) > NOISY_SPREAD * calib_ref
+            or clamped
+        )
 
         return {
             "metric": "turns-encoded/sec (parse→CLP-encode→route→chunk→write)",
@@ -234,6 +242,7 @@ def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
             "headline_samples": [round(x, 3) for x in head_s],
             "compute_samples": [round(x, 3) for x in noop_s],
             "noisy_queries": noisy_queries,
+            "compute_clamped": clamped,
             "noisy": noisy,
         }
     finally:

@@ -355,7 +355,7 @@ def embedding_near_dups(
     dim: int = 64,
     threshold: float = 0.95,
     n_planes: int = 8,
-    max_bucket_size: int = 200,
+    max_bucket_size: int | None = 200,
     multi_probe: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets bound
@@ -365,7 +365,13 @@ def embedding_near_dups(
     ``max_bucket_size`` drops degenerate hot buckets (low-variance
     embeddings, zero-vector clusters) before the self-join — without it
     one hot bucket reintroduces the ~N²/2 candidate blowup
-    (VERDICT r3 #2).
+    (VERDICT r3 #2).  RECALL CLIFF (ADVICE r4): a genuine duplicate
+    family larger than the cap — thousands of identical vectors, which
+    all hash to ONE bucket — is true-positive-dense yet dropped entirely,
+    returning zero pairs for exactly the corpus a dedup pass most needs.
+    Pass ``max_bucket_size=None`` to disable the cap deliberately (the
+    N² guard then falls on the caller), or better: run exact/text dedup
+    first so identical payloads collapse before the embedding pass.
 
     ``multi_probe=True`` additionally probes, for every vector, the
     ``n_planes`` buckets at Hamming distance 1 (one plane bit flipped) —
@@ -381,7 +387,8 @@ def embedding_near_dups(
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         dim, n_planes, "_v",
     )
-    v = drop_oversized_buckets(v, "lsh_bucket", max_bucket_size)
+    if max_bucket_size is not None:
+        v = drop_oversized_buckets(v, "lsh_bucket", max_bucket_size)
     if multi_probe:
         probes = F.array(
             F.col("lsh_bucket"),

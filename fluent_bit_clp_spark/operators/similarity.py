@@ -301,8 +301,14 @@ def kmeans_parallel_seeds(
         ).cast("double")
         new = (
             d2min.where(bucket < thresh)
-            .select("v")
-            .collect()  # expected ≤ l rows per round — bounded
+            .select("_id", "v")
+            # expected ≤ l rows per round — bounded; ordered by _id so the
+            # candidate LIST order is input-determined, not task-arrival
+            # order (ADVICE r4: tie-breaks downstream — first-seed pick,
+            # min_by(cand_id) weighting, farthest-point greedy — index on
+            # this list, so an unordered collect() could flip them)
+            .orderBy("_id")
+            .collect()
         )
         cands.extend(list(row["v"]) for row in new)
     if len(cands) < c:

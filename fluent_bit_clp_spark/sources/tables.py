@@ -20,13 +20,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-class StoreNotReachable(RuntimeError):
+class StoreProbeFailed(RuntimeError):
+    """Common base for output-store probe failures — catch THIS when the
+    reachable/writable distinction doesn't matter (ADVICE r4: under Spark
+    Connect the split is best-effort, classified from the error class /
+    exception type, so callers must not branch load-bearing logic on
+    which subclass arrived)."""
+
+
+class StoreNotReachable(StoreProbeFailed):
     """The output store's scheme/host cannot be resolved — the analogue of
     the reference's HeadBucket 'bucket does not exist / no permission'
     typed errors (`plugins/out_clp_s3_v2/internal/s3.go:58-114`)."""
 
 
-class StoreNotWritable(RuntimeError):
+class StoreNotWritable(StoreProbeFailed):
     """The output store exists but refuses writes — the analogue of the
     reference's credential/ACL validation failure
     (`internal/outctx/context.go:92-112`)."""
@@ -70,8 +78,30 @@ def validate_output_store(
         try:
             spark.range(0).write.mode("overwrite").parquet(marker)
         except Exception as e:
-            msg = str(e)
-            if "FileSystem" in msg or "scheme" in msg.lower():
+            # Classification is BEST-EFFORT here (ADVICE r4): prefer the
+            # structured Spark error class / exception type over message
+            # text — a timeout whose message mentions neither keyword must
+            # not be misfiled.  Both subclasses share StoreProbeFailed, so
+            # callers that only care that the probe failed catch the base.
+            err_class = ""
+            get_ec = getattr(e, "getErrorClass", None)
+            if callable(get_ec):
+                try:
+                    err_class = get_ec() or ""
+                except Exception:
+                    err_class = ""
+            probe_sig = f"{type(e).__name__} {err_class} {e}"
+            unreachable_markers = (
+                "SCHEME",            # FAILED_TO_LOAD_FILESYSTEM / invalid scheme
+                "UnknownHost",
+                "Unresolved",
+                "Connect",           # ConnectException / connection refused+timeout
+                "Timeout",
+                "NoRouteToHost",
+                "FileSystem",
+                "scheme",
+            )
+            if any(m.lower() in probe_sig.lower() for m in unreachable_markers):
                 raise StoreNotReachable(
                     f"output store {out_dir!r} is not reachable: {e}"
                 ) from e
