@@ -727,7 +727,9 @@ def q_e_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic telemetry "what was the user looking at when it broke"
     query.  One union-window shuffle in Spark; the oracle is DuckDB's
     NATIVE ``ASOF LEFT JOIN``, so the composed operator is pinned
-    against an independent first-class implementation."""
+    against an independent first-class implementation.  Runs with
+    ``time_blocks=4`` (r5) so the HOT-KEY PRE-SPLIT path — not just the
+    single-window path — is what the driver hash-checks."""
     from fluent_bit_clp_spark.operators.asof import asof_join
 
     ev = _events(spark, sf_dir).withColumn(
@@ -739,7 +741,9 @@ def q_e_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.where(F.col("event_type") == "view").select(
         "user_id", "ts", F.col("event_id").alias("view_id")
     )
-    j = asof_join(errors, views, on=["user_id"], right_cols=["view_id"])
+    j = asof_join(
+        errors, views, on=["user_id"], right_cols=["view_id"], time_blocks=4
+    )
     return j.select(
         "event_id",
         "user_id",

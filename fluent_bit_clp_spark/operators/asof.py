@@ -22,9 +22,25 @@ Compare the naive alternatives at 100 TB: an inequality join explodes to
 O(L×R) per key before aggregation, and ``mapInPandas`` merge-join needs
 co-partitioned sorted inputs.  Here the only exchange is the window's
 hash partition on the key — same cost class as any per-key groupBy.
-A pathologically hot key serializes its window partition; pre-split hot
-keys by time range (route.salted_repartition's block trick) if profiling
-shows one.
+
+Hot keys (VERDICT r4 #2): with ``time_blocks=1`` a pathologically hot
+key serializes its whole window partition through one task.
+``time_blocks=B`` splits every key's timeline into B equal-width time
+ranges and stitches across the boundaries:
+
+1. window per ``(key, block)`` — the big-table exchange now hashes on
+   (key, block), so a hot key runs as B parallel tasks;
+2. each block's LAST right payload (under the same ordering) comes from
+   a second window over the same sort (no extra exchange), reduced to a
+   tiny one-row-per-(key, block) summary;
+3. a window over the summaries (≤ B rows per key) carries the previous
+   block's payload; ``coalesce(within_block, carry)`` restores exactly
+   the single-window semantics — pytest pins bit-equality and the
+   driver oracle runs the blocked path against DuckDB's native ASOF.
+
+Cost: one extra scan-width window over the stacked table (same sort) +
+one tiny summary shuffle; the block bounds need one min/max aggregate
+over the stacked timestamps (map-side combined, two scalars).
 
 Determinism: ties on ``(ts, _side)`` (several right rows at the same
 timestamp) resolve to the LARGEST struct of the ORDERABLE right columns
@@ -53,6 +69,78 @@ def _contains_map(dt) -> bool:
     return False
 
 
+def _blocked_carry(
+    stacked: DataFrame,
+    on: list[str],
+    order: list,
+    time_blocks: int,
+    asc: bool,
+) -> DataFrame:
+    """Hot-key pre-split (module docstring): windows per ``(key, block)``
+    plus a tiny cross-block carry, bit-identical to the single window.
+
+    Physical shape: ONE exchange of the stacked table, hashed on
+    ``(key, block)``; both big windows share that sort; the summary
+    groupBy and the carry join reuse the same partitioning (no further
+    big-table exchange — pinned in tests/test_asof.py's plan check).
+    """
+    ts_dt = stacked.schema["_asof_ts"].dataType
+    if isinstance(ts_dt, (T.TimestampType, T.TimestampNTZType)):
+        num = F.unix_micros(F.col("_asof_ts"))
+    elif isinstance(ts_dt, T.DateType):
+        num = F.unix_date(F.col("_asof_ts"))
+    else:
+        num = F.col("_asof_ts").cast("double")
+    # block bounds: one map-side-combined min/max over the stacked ts —
+    # two driver scalars, never data
+    b = stacked.agg(F.min(num).alias("mn"), F.max(num).alias("mx")).first()
+    if b["mn"] is None or b["mn"] == b["mx"]:
+        blk = F.lit(0)  # empty / single-instant input: one block
+    else:
+        mn, mx = float(b["mn"]), float(b["mx"])
+        span = (mx - mn) / time_blocks
+        blk = F.least(
+            F.lit(time_blocks - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((num.cast("double") - F.lit(mn)) / F.lit(span)).cast(
+                    "int"
+                ),
+            ),
+        )
+    # null ts rows keep block 0 (they sort to one end of the ordering
+    # either way; semantics identical to the single-window path)
+    df = stacked.withColumn("_asof_blk", F.coalesce(blk.cast("int"), F.lit(0)))
+    wb = Window.partitionBy(*on, "_asof_blk").orderBy(*order)
+    df = df.withColumn(
+        "_m_blk",
+        F.last("_r", ignorenulls=True).over(
+            wb.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        # the block's overall last right payload under the SAME ordering —
+        # constant within the block, feeds the cross-block carry
+        "_blk_last",
+        F.last("_r", ignorenulls=True).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    # one row per (key, block); _blk_last is constant within the group so
+    # first() is value-deterministic
+    summ = df.groupBy(*on, "_asof_blk").agg(F.first("_blk_last").alias("_bl"))
+    blk_order = F.col("_asof_blk").asc() if asc else F.col("_asof_blk").desc()
+    wc = (
+        Window.partitionBy(*on)
+        .orderBy(blk_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summ.withColumn(
+        "_carry", F.last("_bl", ignorenulls=True).over(wc)
+    ).select(*on, "_asof_blk", "_carry")
+    joined = df.join(carry, [*on, "_asof_blk"])
+    return joined.withColumn("_m", F.coalesce("_m_blk", "_carry"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -62,13 +150,19 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    time_blocks: int = 1,
 ) -> DataFrame:
     """All left columns + each requested right column (suffixed on name
     collision, including the right timestamp).  Unmatched left rows keep
     NULLs — a left join, like ``merge_asof``.
+
+    ``time_blocks > 1`` enables the hot-key pre-split (module docstring
+    step list): identical results, B-way parallelism per key.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if time_blocks < 1:
+        raise ValueError(f"time_blocks must be >= 1, got {time_blocks}")
     right_cols = [c for c in (right_cols or right.columns) if c not in on]
     if right_ts not in right_cols:
         right_cols = [right_ts] + right_cols
@@ -115,24 +209,28 @@ def asof_join(
     if direction == "backward":
         # right rows (side 0) at the same ts sort before the left row →
         # inclusive <=; last() carries the latest-so-far right payload
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(
-                F.col("_asof_ts").asc(), F.col("_side").asc(), F.col("_tb").asc()
-            )
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+        order = [
+            F.col("_asof_ts").asc(), F.col("_side").asc(), F.col("_tb").asc()
+        ]
     else:
         # forward: scan from the future backwards; left (side 1) must see
         # same-ts right rows, so rights sort after lefts descending-wise
+        order = [
+            F.col("_asof_ts").desc(), F.col("_side").asc(), F.col("_tb").asc()
+        ]
+    if time_blocks == 1:
         w = (
             Window.partitionBy(*on)
-            .orderBy(
-                F.col("_asof_ts").desc(), F.col("_side").asc(), F.col("_tb").asc()
-            )
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-    carried = stacked.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        carried = stacked.withColumn(
+            "_m", F.last("_r", ignorenulls=True).over(w)
+        )
+    else:
+        carried = _blocked_carry(
+            stacked, on, order, time_blocks, asc=direction == "backward"
+        )
     lefts = carried.where(F.col("_side") == 1)
     cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
         F.col(f"_m.{c}").alias(out_names[c]) for c in right_cols
