@@ -73,6 +73,137 @@ def msgpack_mb_per_s_core(n_records: int = 20_000, reps: int = 4) -> float:
 NOISY_SPREAD = 3.0  # max/min sample ratio above which a timing is suspect
 
 
+def _min_time(fn, reps: int = 3) -> float:
+    """Untimed warmup (JIT) + min of ``reps`` timed runs."""
+    fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
+# 5 named fields over datagen template 5 ('GET /api/v2/users/%d?page=%d
+# took %s ms') — the VERDICT r4 #3 bench shape
+GROK5_PATTERN = (
+    "%{HTTPMETHOD:verb} /api/v%{INT:ver:int}/users/%{INT:uid:long}"
+    "?page=%{INT:page:int} took %{NUMBER:ms:float} ms"
+)
+
+# Fragment query over datagen template 3 ('Retrying container-<hex12>
+# after <int>s: <reason>'): the hex12 token is a dictionary variable, so
+# 'container-ab*' exercises the var-dictionary fragment compilation
+SEARCH_QUERY = "Retrying container-a* after *: upstream timeout exceeded"
+
+
+def _ops_bench(spark, df, enc_path: str, tmp: str) -> dict:
+    """Operator micro-benchmarks riding the already-materialized headline
+    artifacts: ``df`` = the raw transcripts parquet, ``enc_path`` = the
+    CLP-encoded sink parquet the headline run just wrote.
+
+    - grok5: single-pass grok_parse (1 regexp_replace/row) vs the
+      per-field k-extract shape it replaced (VERDICT r4 #3).
+    - search: dictionary-pruned CLP search (with and without the variable
+      dictionary) vs naive regex over raw text, plus the prune ratios
+      that explain the win (VERDICT r4 #4 / reference README's headline
+      claim that encoded logs stay searchable).
+    """
+    from pyspark.sql import functions as F
+
+    from fluent_bit_clp_spark.functions.clp_native import (
+        logtype_dictionary,
+        var_dictionary,
+    )
+    from fluent_bit_clp_spark.operators.grok import grok_parse
+    from fluent_bit_clp_spark.operators.search import (
+        compile_fragment_var_predicates,
+        compile_relaxed_pattern,
+        exact_text_pattern,
+        logtype_matches,
+        search_encoded,
+    )
+
+    n_rows = df.count()
+    out: dict = {}
+
+    # --- grok: identical pattern/rows, only the execution shape differs
+    def grok_pair(frame) -> dict:
+        return {
+            "fields": 5,
+            "rows": n_rows,
+            "single_pass_sec": _min_time(
+                lambda: grok_parse(frame, "text", GROK5_PATTERN, single_pass=True)
+                .write.mode("overwrite").format("noop").save()
+            ),
+            "multi_pass_sec": _min_time(
+                lambda: grok_parse(frame, "text", GROK5_PATTERN, single_pass=False)
+                .write.mode("overwrite").format("noop").save()
+            ),
+        }
+
+    # transcripts as-is: short lines, match anchored at position 0 — the
+    # per-field re-evaluation is nearly free, so the two shapes tie
+    out["grok5"] = grok_pair(df)
+    # padded lines, match mid-string: every extra regex pass re-scans the
+    # preamble, so this is where single-pass wins (~2× at 300-char pad)
+    long_path = os.path.join(tmp, "bench_grok_long")
+    df.select(
+        F.concat(
+            F.lit("ts=2026-01-01T00:00:00Z host=node-17 ctx="),
+            F.repeat(F.lit("x"), 180),
+            F.lit(" "),
+            F.col("text"),
+            F.lit(" trailer="),
+            F.repeat(F.lit("y"), 120),
+        ).alias("text")
+    ).write.mode("overwrite").parquet(long_path)
+    out["grok5_long"] = grok_pair(spark.read.parquet(long_path))
+
+    # --- search: dictionaries are prebuilt at ingest in CLP's design, so
+    # they're materialized once outside the timed region
+    enc = spark.read.parquet(enc_path)
+    ld_path = os.path.join(tmp, "bench_logtype_dict")
+    vd_path = os.path.join(tmp, "bench_var_dict")
+    logtype_dictionary(enc).write.mode("overwrite").parquet(ld_path)
+    var_dictionary(enc).write.mode("overwrite").parquet(vd_path)
+    ld = spark.read.parquet(ld_path)
+    vd = spark.read.parquet(vd_path)
+
+    hits = search_encoded(enc, SEARCH_QUERY, dictionary=ld).count()
+    # prune ratios: rows surviving each prune stage / total rows (the
+    # decode-verify cost is proportional to the survivors)
+    pattern = compile_relaxed_pattern(SEARCH_QUERY)
+    lt_ids = F.broadcast(logtype_matches(pattern, ld).select("logtype_id"))
+    cand_lt = enc.join(lt_ids, "logtype_id", "left_semi")
+    n_lt = cand_lt.count()
+    cand_vd = cand_lt
+    for pred in compile_fragment_var_predicates(SEARCH_QUERY, vd):
+        cand_vd = cand_vd.where(pred)
+    n_vd = cand_vd.count()
+    out["search"] = {
+        "query": SEARCH_QUERY,
+        "rows": n_rows,
+        "hits": hits,
+        "raw_regex_sec": _min_time(
+            lambda: df.where(
+                F.col("text").rlike(exact_text_pattern(SEARCH_QUERY))
+            ).count()
+        ),
+        "clp_search_sec": _min_time(
+            lambda: search_encoded(enc, SEARCH_QUERY, dictionary=ld).count()
+        ),
+        "clp_search_vardict_sec": _min_time(
+            lambda: search_encoded(
+                enc, SEARCH_QUERY, dictionary=ld, var_dictionary=vd
+            ).count()
+        ),
+        "logtype_prune_ratio": round(n_lt / max(n_rows, 1), 6),
+        "vardict_prune_ratio": round(n_vd / max(n_rows, 1), 6),
+    }
+    return out
+
+
 def _calibration_probe(spark) -> float:
     """Fixed ~0.3 s reference job: its wall time tracks the box's current
     contention level, independent of any query under test.  Taken before
@@ -208,6 +339,9 @@ def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
                 samples[name].append(time_query(name))
         probes.append(_calibration_probe(spark))
 
+        # --- operator micro-benchmarks (grok single-pass, CLP search win)
+        ops = _ops_bench(spark, df, out_path, tmp)
+
         qtimes = {n: round(min(s), 3) for n, s in samples.items()}
         qspread = {
             n: round(max(s) / max(min(s), 1e-9), 2) for n, s in samples.items()
@@ -231,6 +365,7 @@ def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
             "turns_per_sec_compute": round(n_rows / noop_sec, 1),
             "sink_write_sec": round(max(headline_sec - noop_sec, 0.0), 3),
             "msgpack_mb_per_s_core": msgpack_mb_per_s_core(),
+            "ops": ops,
             "cpus": cpus,
             # noise observability (VERDICT r3 #3): spread = max/min over
             # each query's cross-pass samples; calibration_sec =

@@ -19,12 +19,17 @@ Design:
   or-floating regex with one NUMBERED capture group per named field
   (named-group syntax differs between Java ``(?<n>)`` and RE2
   ``(?P<n>)``, so we track field → group index ourselves).
-- :func:`grok_parse` — adds one column per named field via
-  ``regexp_extract`` over the ONE compiled regex.  All JVM-side
-  (whole-stage codegen), no Python in the row path; k fields cost k
-  regex evaluations per row — acceptable for parse-stage field counts
-  (the alternative, one pandas UDF returning a struct, trades that for
-  Arrow transfer of the whole text column).
+- :func:`grok_parse` — adds one column per named field, all JVM-side
+  (whole-stage codegen), no Python in the row path.  SINGLE-PASS
+  (VERDICT r4 #3): one ``rlike`` + one ``regexp_replace`` evaluation
+  per row rewrites the leftmost match into all k groups joined by a
+  control-char separator, then a plain ``split`` fans them out — k
+  fields no longer cost k evaluations of the same regex.  A group value
+  that happens to contain the separator sequence is detected exactly
+  (the split yields more than k parts) and only those rows fall back to
+  per-group ``regexp_extract`` inside a lazy CASE branch, so the
+  behavior is identical on every input.  ``single_pass=False`` keeps
+  the plain k-extract shape (bench.py measures both).
 
 Unnamed uses (``%{INT}``) match without extracting, exactly like grok.
 """
@@ -147,6 +152,13 @@ def grok_match(text_col: str | Column, pattern: str) -> Column:
     return col.rlike(rx)
 
 
+# Separator for the single-pass group join: a control-char sequence that
+# never appears in normal log text.  Collisions (a GROUP VALUE containing
+# the sequence) are detected exactly — they add separators, so the split
+# yields > k parts — and those rows take the per-group fallback branch.
+_SP_SEP = "\x00\x1d\x00"
+
+
 def grok_parse(
     df: DataFrame,
     text_col: str,
@@ -154,6 +166,7 @@ def grok_parse(
     prefix: str = "",
     keep_unmatched: bool = True,
     extra_patterns: dict[str, str] | None = None,
+    single_pass: bool = True,
 ) -> DataFrame:
     """Add one string column per named grok field (``prefix + field``).
 
@@ -165,6 +178,9 @@ def grok_parse(
     output name collides with an existing column raises (review fix r4:
     ``withColumn`` would silently overwrite source data) — disambiguate
     with ``prefix``.
+
+    ``single_pass=True`` (default, module docstring): k fields cost ONE
+    regexp_replace per row instead of k regexp_extract evaluations.
     """
     rx, fields, casts = compile_grok(pattern, extra_patterns)
     clashes = sorted(
@@ -178,11 +194,44 @@ def grok_parse(
     col = F.col(text_col)
     matched = col.rlike(rx)
     out = df
-    for field, idx in fields.items():
-        extracted = F.when(matched, F.regexp_extract(col, rx, idx))
-        if field in casts:
-            extracted = extracted.cast(casts[field])
-        out = out.withColumn(prefix + field, extracted)
+    k = len(fields)
+    if single_pass and k >= 2:
+        # rewrite the LEFTMOST match (regexp_extract semantics: lazy ^.*?
+        # prefix) into '$1<sep>$2...<sep>$k'; (?s) so the .* legs span
+        # newlines; rx wrapped non-capturing so a top-level alternation
+        # can't swallow the anchors; group numbers are unchanged.
+        wrap = f"(?s)^.*?(?:{rx}).*$"
+        repl = _SP_SEP.join(f"${i}" for i in range(1, k + 1))
+        parts = F.split(F.regexp_replace(col, wrap, repl), _SP_SEP, -1)
+        # temp columns evaluated once per input row: the k field
+        # projections reference them as attributes, and CollapseProject
+        # keeps non-cheap expressions in their own Project, so the match
+        # and the rewrite each run once (plan-pinned in tests/test_grok.py)
+        out = out.withColumn("_grok_m", matched)
+        out = out.withColumn(
+            "_grok_parts", F.when(F.col("_grok_m"), parts)
+        )
+        m = F.col("_grok_m")
+        ok = F.size("_grok_parts") == k
+        for field, idx in fields.items():
+            extracted = (
+                F.when(m & ok, F.element_at("_grok_parts", idx))
+                # separator collision inside a group value (or engine
+                # quirk): exact per-row fallback, lazily evaluated
+                .when(m, F.regexp_extract(col, rx, idx))
+            )
+            if field in casts:
+                extracted = extracted.cast(casts[field])
+            out = out.withColumn(prefix + field, extracted)
+        if not keep_unmatched:
+            out = out.where(m)
+        return out.drop("_grok_m", "_grok_parts")
+    else:
+        for field, idx in fields.items():
+            extracted = F.when(matched, F.regexp_extract(col, rx, idx))
+            if field in casts:
+                extracted = extracted.cast(casts[field])
+            out = out.withColumn(prefix + field, extracted)
     if not keep_unmatched:
         out = out.where(matched)
     return out
