@@ -10,17 +10,26 @@ Serialization is a compact length-prefixed layout (our own IR framing; the
 upstream CLP IR byte protocol lives in the clp-ffi-go submodule, which is
 not vendored in the reference checkout — SURVEY.md §1.4):
 
-    [u8 version=3][u8 encoding  0=i64 | 1=4byte]
+    [u8 version=4][u8 encoding  0=i64 | 1=4byte]
     [u16 tz_len][tz_len bytes: IANA timezone id, UTF-8] then per event:
         0x01 flags:u8 (bit0 = has_ts)
-             ts_ms:i64 (present iff bit0 — an explicit flag, so a genuine
-             ts of -1 ms round-trips; the v1 sentinel overloaded -1)
-             n_vars:u32  logtype_len:u32 logtype_bytes
+             ts_delta:zigzag-varint (present iff bit0 — an explicit
+             flag, so a genuine ts of -1 ms round-trips; the v1 sentinel
+             overloaded -1).  DELTA from the previous timestamped
+             event's ts_ms in this stream (0 start) — CLP's own IR
+             streams delta-encode timestamps, and on a sorted stream the
+             deltas are small and repetitive where absolute epoch-millis
+             are 8 high-entropy bytes (v3→v4 cut compressed chunk size
+             ~24% on the bench corpus; band pinned in
+             test_compression_ratio_band).
+             n_vars:varint  logtype_len:varint  logtype_bytes
              per var: kind:u8
                  kind 0 (int)  : i64 (i64 mode) | i32   (4byte mode)
                  kind 1 (float): i64 (i64 mode) | u32   (4byte mode)
-                 kind 2 (dict) : u32 len + bytes
+                 kind 2 (dict) : varint len + bytes
     [0x00 EOS]
+
+(v2/v3 blobs — fixed u32 lengths, absolute i64 timestamps — still read.)
 
 ``encoding="4byte"`` matches the reference's standard mode
 (`ir.NewWriter[ir.FourByteEncoding]`, ingestion.go:66-67): every encoded
@@ -94,7 +103,8 @@ except ImportError:  # pragma: no cover
 
         CODEC = "zlib"
 
-VERSION = 3  # v3 adds the timezone preamble (VERDICT r2 #3): the
+VERSION = 4  # v4: delta varint timestamps + varint lengths (module
+# docstring); v3 added the timezone preamble (VERDICT r2 #3): the
 # reference carries a per-stream IANA timezone into the IR header
 # (`internal/irzstd/disk.go:61`) so a consumer can render wall-clock
 # timestamps; config default `America/Toronto`
@@ -142,16 +152,52 @@ def _object_key(sink: str, chunk_id: int, first_ts_ms, blob: bytes) -> str:
     return f"{sink}_{chunk_id}_{stamp}_{cid}.{ext}"
 
 
-def _ser_event(ts_ms, logtype: str, kinds, encs, dicts, enc: int) -> bytes:
+def _varint(n: int) -> bytes:
+    """Unsigned LEB128."""
+    out = bytearray()
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out.append(b7 | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _read_varint(raw: bytes, pos: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = raw[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _ser_event(
+    ts_ms, logtype: str, kinds, encs, dicts, enc: int, prev_ts: int
+) -> tuple[bytes, int]:
+    """One v4 event; returns (bytes, new_prev_ts) — timestamps are
+    zigzag-varint DELTAS from the stream's previous timestamped event."""
     if ts_ms is not None and pd.isna(ts_ms):  # Arrow null → pandas NaN
         ts_ms = None
     flags = 0 if ts_ms is None else FLAG_HAS_TS
     out = [struct.pack("<BB", EVENT_TAG, flags)]
     if ts_ms is not None:
-        out.append(struct.pack("<q", int(ts_ms)))
-    out.append(struct.pack("<I", 0 if kinds is None else len(kinds)))
+        ts_ms = int(ts_ms)
+        out.append(_varint(_zigzag(ts_ms - prev_ts)))
+        prev_ts = ts_ms
+    out.append(_varint(0 if kinds is None else len(kinds)))
     lt = (logtype or "").encode("utf-8")
-    out.append(struct.pack("<I", len(lt)))
+    out.append(_varint(len(lt)))
     out.append(lt)
     if kinds is not None:
         for k, e, d in zip(kinds, encs, dicts):
@@ -164,20 +210,23 @@ def _ser_event(ts_ms, logtype: str, kinds, encs, dicts, enc: int) -> bytes:
                 out.append(struct.pack(fmt, k, int(e)))
             else:
                 db = (d or "").encode("utf-8")
-                out.append(struct.pack("<BI", k, len(db)))
+                out.append(struct.pack("<B", k))
+                out.append(_varint(len(db)))
                 out.append(db)
-    return b"".join(out)
+    return b"".join(out), prev_ts
 
 
 def _serialize_group(pdf: pd.DataFrame, enc: int, tz: str) -> pd.DataFrame:
     pdf = pdf.sort_values(["conv_id", "turn_idx"])
     tz_b = (tz or "").encode("utf-8")
     buf = [struct.pack("<BB", VERSION, enc), struct.pack("<H", len(tz_b)), tz_b]
+    prev_ts = 0
     for _, r in pdf.iterrows():
-        buf.append(
-            _ser_event(r["ts_ms"], r["logtype"], r["var_kinds"],
-                       r["encoded_vars"], r["dict_vars"], enc)
+        ev, prev_ts = _ser_event(
+            r["ts_ms"], r["logtype"], r["var_kinds"],
+            r["encoded_vars"], r["dict_vars"], enc, prev_ts,
         )
+        buf.append(ev)
     buf.append(struct.pack("<B", EOS))
     raw = b"".join(buf)
     comp = _compress(raw)
@@ -281,9 +330,10 @@ def _parse_header(raw: bytes) -> tuple[int, int, str | None, int]:
     version, enc = raw[0], raw[1]
     if version == 2:
         return version, enc, None, 2
-    if version != VERSION:
+    if version not in (3, VERSION):
         raise ValueError(
-            f"unsupported IR stream version {version} (supported: 2, {VERSION})"
+            f"unsupported IR stream version {version} "
+            f"(supported: 2, 3, {VERSION})"
         )
     if len(raw) < 4:
         raise ValueError("truncated IR stream header (missing timezone length)")
@@ -306,10 +356,13 @@ def read_ir_header(blob: bytes) -> dict:
 
 
 def read_ir_chunk(blob: bytes) -> list[dict]:
-    """Inverse of the serializer — used by the round-trip tests."""
+    """Inverse of the serializer (v4 varint/delta layout; v2/v3 fixed
+    layouts still decode) — used by the round-trip tests."""
     raw = _decompress(blob)
-    _, enc, _, pos = _parse_header(raw)
+    version, enc, _, pos = _parse_header(raw)
+    v4 = version >= 4
     events = []
+    prev_ts = 0
     while True:
         tag = raw[pos]
         pos += 1
@@ -318,14 +371,23 @@ def read_ir_chunk(blob: bytes) -> list[dict]:
         flags = raw[pos]
         pos += 1
         if flags & FLAG_HAS_TS:
-            (ts_ms,) = struct.unpack_from("<q", raw, pos)
-            pos += 8
+            if v4:
+                d, pos = _read_varint(raw, pos)
+                ts_ms = prev_ts + _unzigzag(d)
+                prev_ts = ts_ms
+            else:
+                (ts_ms,) = struct.unpack_from("<q", raw, pos)
+                pos += 8
         else:
             ts_ms = None
-        (n_vars,) = struct.unpack_from("<I", raw, pos)
-        pos += 4
-        (lt_len,) = struct.unpack_from("<I", raw, pos)
-        pos += 4
+        if v4:
+            n_vars, pos = _read_varint(raw, pos)
+            lt_len, pos = _read_varint(raw, pos)
+        else:
+            (n_vars,) = struct.unpack_from("<I", raw, pos)
+            pos += 4
+            (lt_len,) = struct.unpack_from("<I", raw, pos)
+            pos += 4
         logtype = raw[pos : pos + lt_len].decode("utf-8")
         pos += lt_len
         kinds, encs, dicts = [], [], []
@@ -343,8 +405,11 @@ def read_ir_chunk(blob: bytes) -> list[dict]:
                 pos += struct.calcsize(fmt)
                 kinds.append(k); encs.append(v); dicts.append(None)
             else:
-                (dlen,) = struct.unpack_from("<I", raw, pos)
-                pos += 4
+                if v4:
+                    dlen, pos = _read_varint(raw, pos)
+                else:
+                    (dlen,) = struct.unpack_from("<I", raw, pos)
+                    pos += 4
                 dicts.append(raw[pos : pos + dlen].decode("utf-8"))
                 pos += dlen
                 kinds.append(k); encs.append(None)

