@@ -76,67 +76,87 @@ def _blocked_carry(
     time_blocks: int,
     asc: bool,
 ) -> DataFrame:
-    """Hot-key pre-split (module docstring): windows per ``(key, block)``
+    """Hot-key pre-split (module docstring): window per ``(key, block)``
     plus a tiny cross-block carry, bit-identical to the single window.
 
-    Physical shape: ONE exchange of the stacked table, hashed on
-    ``(key, block)``; both big windows share that sort; the summary
-    groupBy and the carry join reuse the same partitioning (no further
-    big-table exchange — pinned in tests/test_asof.py's plan check).
+    Physical shape (pinned in tests/test_asof.py): the stacked table gets
+    ONE wide exchange, hashed on ``(key, block)``, feeding the one big
+    window.  The carry side never re-shuffles wide data: block summaries
+    are a map-side-combinable ``max_by`` over RIGHT rows only (the
+    block's last right payload under the window order), left-joined onto
+    the narrow ``(key, block)`` distinct spine (so blocks with no right
+    rows still receive the carry), cumulated by a window over ≤ B rows
+    per key, and joined back on the partitioning the big window already
+    established.
     """
     ts_dt = stacked.schema["_asof_ts"].dataType
     if isinstance(ts_dt, (T.TimestampType, T.TimestampNTZType)):
-        num = F.unix_micros(F.col("_asof_ts"))
+        def _num():
+            return F.unix_micros(F.col("_asof_ts")).cast("double")
     elif isinstance(ts_dt, T.DateType):
-        num = F.unix_date(F.col("_asof_ts"))
+        def _num():
+            return F.unix_date(F.col("_asof_ts")).cast("double")
     else:
-        num = F.col("_asof_ts").cast("double")
+        def _num():
+            return F.col("_asof_ts").cast("double")
     # block bounds: one map-side-combined min/max over the stacked ts —
     # two driver scalars, never data
-    b = stacked.agg(F.min(num).alias("mn"), F.max(num).alias("mx")).first()
+    b = stacked.agg(F.min(_num()).alias("mn"), F.max(_num()).alias("mx")).first()
     if b["mn"] is None or b["mn"] == b["mx"]:
-        blk = F.lit(0)  # empty / single-instant input: one block
+        def _blk():  # empty / single-instant input: one block
+            return F.lit(0)
     else:
         mn, mx = float(b["mn"]), float(b["mx"])
         span = (mx - mn) / time_blocks
-        blk = F.least(
-            F.lit(time_blocks - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((num.cast("double") - F.lit(mn)) / F.lit(span)).cast(
-                    "int"
-                ),
-            ),
-        )
-    # null ts rows keep block 0 (they sort to one end of the ordering
-    # either way; semantics identical to the single-window path)
-    df = stacked.withColumn("_asof_blk", F.coalesce(blk.cast("int"), F.lit(0)))
-    wb = Window.partitionBy(*on, "_asof_blk").orderBy(*order)
-    df = df.withColumn(
-        "_m_blk",
-        F.last("_r", ignorenulls=True).over(
-            wb.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    ).withColumn(
-        # the block's overall last right payload under the SAME ordering —
-        # constant within the block, feeds the cross-block carry
-        "_blk_last",
-        F.last("_r", ignorenulls=True).over(
-            wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ),
+
+        def _blk():
+            raw = F.floor((_num() - F.lit(mn)) / F.lit(span)).cast("int")
+            capped = F.least(F.lit(time_blocks - 1), F.greatest(F.lit(0), raw))
+            # null ts rows keep block 0 (they sort to one end of the
+            # ordering either way; identical to the single-window path)
+            return F.coalesce(capped, F.lit(0))
+
+    df = stacked.withColumn("_asof_blk", _blk())
+    wb = (
+        Window.partitionBy(*on, "_asof_blk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # one row per (key, block); _blk_last is constant within the group so
-    # first() is value-deterministic
-    summ = df.groupBy(*on, "_asof_blk").agg(F.first("_blk_last").alias("_bl"))
+    df = df.withColumn("_m_blk", F.last("_r", ignorenulls=True).over(wb))
+
+    # --- block summaries: the window-order LAST right payload of each
+    # (key, block), as one map-side-combinable max_by over right rows.
+    # The ordering key reproduces the window sort exactly, including
+    # null timestamps: backward sorts ts ASC NULLS FIRST (null → -inf,
+    # loses to any real ts), forward sorts ts DESC NULLS LAST (null →
+    # "last" → +inf on the negated axis); ties on the orderable payload
+    # struct resolve identically (max _tb either way).
+    rights = stacked.where(F.col("_side") == 0).withColumn("_asof_blk", _blk())
+    if asc:
+        ts_key = F.coalesce(_num(), F.lit(float("-inf")))
+    else:
+        ts_key = F.coalesce(-_num(), F.lit(float("inf")))
+    summ = rights.groupBy(*on, "_asof_blk").agg(
+        F.max_by(
+            "_r", F.struct(ts_key.alias("_o1"), F.col("_tb").alias("_o2"))
+        ).alias("_bl")
+    )
+    # narrow spine: every (key, block) present in the data — blocks with
+    # no right rows must still exist as carry rows.  Column-pruned scan
+    # (key + ts only) + combinable distinct; cardinality ≤ keys × B.
+    spine = df.select(*on, "_asof_blk").distinct()
     blk_order = F.col("_asof_blk").asc() if asc else F.col("_asof_blk").desc()
     wc = (
         Window.partitionBy(*on)
         .orderBy(blk_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = summ.withColumn(
-        "_carry", F.last("_bl", ignorenulls=True).over(wc)
-    ).select(*on, "_asof_blk", "_carry")
+    carry = (
+        spine.join(summ, [*on, "_asof_blk"], "left")
+        .withColumn("_carry", F.last("_bl", ignorenulls=True).over(wc))
+        .select(*on, "_asof_blk", "_carry")
+    )
+    # inner join is total: the spine covers every (key, block) in df
     joined = df.join(carry, [*on, "_asof_blk"])
     return joined.withColumn("_m", F.coalesce("_m_blk", "_carry"))
 

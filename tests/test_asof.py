@@ -139,6 +139,43 @@ def test_asof_time_blocks_bit_identical(spark, direction):
         asof_join(left, right, on=["k"], time_blocks=0)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_time_blocks_sparse_rights_and_null_ts(spark, direction):
+    """The carry must cross EMPTY blocks (rights confined to one end of
+    the time range while lefts span it — most blocks hold no right rows)
+    and null timestamps must behave exactly as in the single window."""
+    left = spark.range(300).select(
+        F.lit(1).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(80_000)).alias("ts"),
+        F.col("id").alias("lid"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(1, None, 9001), (1, None, 9002)], "k int, ts bigint, lid long"
+        )
+    )
+    right = (
+        spark.range(60)
+        .select(
+            F.lit(1).alias("k"),
+            # rights only in the first eighth of the time span: with 8
+            # blocks, ~7 blocks have no right rows at all
+            F.pmod(F.xxhash64("id", F.lit(6)), F.lit(10_000)).alias("ts"),
+            F.col("id").alias("rid"),
+        )
+        .unionByName(
+            spark.createDataFrame([(1, None, 777)], "k int, ts bigint, rid long")
+        )
+        .groupBy("k", "ts")
+        .agg(F.max("rid").alias("rid"))
+    )
+    base = asof_join(left, right, on=["k"], direction=direction)
+    split = asof_join(
+        left, right, on=["k"], direction=direction, time_blocks=8
+    )
+    rows = lambda df: sorted(map(tuple, df.collect()), key=str)
+    assert rows(split) == rows(base)
+
+
 def test_asof_time_blocks_parallelizes_hot_key(spark):
     """With one key holding all rows, the blocked window stage must run
     as MULTIPLE tasks (partition spec includes the block column and the
@@ -146,11 +183,17 @@ def test_asof_time_blocks_parallelizes_hot_key(spark):
     path is one task by construction."""
     left, right = _hot_key_sides(spark)
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
     prev = spark.conf.get(coalesce_key, "true")
+    prev_b = spark.conf.get(bcast_key)
     try:
         # AQE's small-partition coalescing would merge the tiny test
-        # partitions back together and hide the parallelism under test
+        # partitions back together, and at THIS corpus size AQE happily
+        # broadcasts the big window side of the carry join (both sides
+        # are KBs), replacing the partitioning the probe measures — at
+        # real scale the window side exceeds any broadcast threshold
         spark.conf.set(coalesce_key, "false")
+        spark.conf.set(bcast_key, "-1")
         # keep a window-derived column (ts_right) in the projection —
         # selecting spark_partition_id() alone lets Catalyst prune the
         # whole Window+Exchange and the probe measures the source scan
@@ -170,8 +213,15 @@ def test_asof_time_blocks_parallelizes_hot_key(spark):
         assert "_asof_blk" in plan  # window partitions on (key, block)
         assert n_window_parts(split) > 1
         assert n_window_parts(asof_join(left, right, on=["k"])) == 1
+        # plan shape: exactly ONE window runs over the stacked rows
+        # (last over _r); the carry window runs over block summaries
+        # (last over _bl) — the summary/spine branches are narrow
+        # recomputes, never a second stacked window/shuffle
+        assert plan.count("last(_r#") == 1
+        assert plan.count("last(_bl#") == 1
     finally:
         spark.conf.set(coalesce_key, prev)
+        spark.conf.set(bcast_key, prev_b)
 
 
 def test_asof_with_map_payload_column(spark):

@@ -18,8 +18,16 @@ from fluent_bit_clp_spark.session import get_spark
 
 
 def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
+    s = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
+    )
+    # plans embed control-char literals (CLP placeholder \x11, grok
+    # separator \x00\x1d\x00) — map them to visible symbols so PLANS.md
+    # stays a text file
+    return (
+        s.replace("\x00", "<NUL>")
+        .replace("\x11", "<PH>")
+        .replace("\x1d", "<GS>")
     )
 
 
@@ -121,6 +129,60 @@ What to look for (VERDICT r3 #3):
         "centroid_id int, embedding array<float>",
     )
     out.append(formatted(ivf_assignments(vecs, cents)).strip())
+    out.append("""
+```
+
+## As-of join, hot-key pre-split (round-5 shape)
+
+What to look for (VERDICT r4 #2):
+- ONE wide `Exchange hashpartitioning(key, _asof_blk)` under the ONE
+  `Window [last(_r ...)]` over the stacked rows — a hot key fans out
+  over `time_blocks` tasks;
+- the cross-block carry never re-shuffles wide data: block summaries
+  are a partial-aggregated `max_by` over RIGHT rows only, left-joined
+  onto the column-pruned `(key, block)` distinct spine, cumulated by
+  the tiny `Window [last(_bl ...)]` (≤ B rows per key);
+- the carry joins back on `(key, _asof_blk)` — the partitioning the
+  big window already established, so the stream side needs no new
+  exchange (at bench scale AQE may broadcast the small carry side).
+
+```
+""")
+    from fluent_bit_clp_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, i * 10, i) for i in range(50)], "k int, ts bigint, lid int"
+    )
+    right = spark.createDataFrame(
+        [(1, i * 25, i) for i in range(20)], "k int, ts bigint, rid int"
+    )
+    out.append(
+        formatted(asof_join(left, right, on=["k"], time_blocks=4)).strip()
+    )
+    out.append("""
+```
+
+## Grok parse, single-pass (round-5 shape)
+
+What to look for (VERDICT r4 #3):
+- exactly ONE `RLIKE` (the match gate) and ONE `regexp_replace` (the
+  rewrite of the leftmost match into separator-joined groups) for k=5
+  named fields — not k evaluations of the same regex;
+- the per-field `regexp_extract`s appear only inside lazy CASE branches
+  (the exact separator-collision fallback), never on the primary path.
+
+```
+""")
+    from fluent_bit_clp_spark.operators.grok import grok_parse
+
+    gdf = spark.createDataFrame(
+        [(0, "GET /api/v2/users/1?page=2 took 3.5 ms")], "id int, text string"
+    )
+    gpat = (
+        "%{HTTPMETHOD:verb} /api/v%{INT:ver:int}/users/%{INT:uid:long}"
+        "?page=%{INT:page:int} took %{NUMBER:ms:float} ms"
+    )
+    out.append(formatted(grok_parse(gdf, "text", gpat)).strip())
     out.append("""
 ```
 
