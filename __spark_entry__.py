@@ -655,17 +655,43 @@ def q_pipeline_roundtrip_violations_4byte(
     return _roundtrip_violations(spark, "4byte")
 
 
+def _archive_roundtrip_violations(spark: SparkSession) -> DataFrame:
+    """Columnar-archive round trip (operators/archive.py): encode →
+    to_archive → from_archive must reproduce every working-layout column
+    byte-for-byte (null-safe struct compare), and the reconstruction must
+    still decode to the original text.  One lineage, no self-join: the
+    original columns ride through to_archive inside a struct."""
+    from fluent_bit_clp_spark.operators.archive import from_archive, to_archive
+
+    layout = ["logtype", "var_kinds", "encoded_vars", "dict_vars",
+              "dict_var_ids", "logtype_id"]
+    enc = encode_pipeline(transcripts(spark, 2000), spark)
+    rec = from_archive(
+        to_archive(enc.withColumn("_orig", F.struct(*layout)))
+    ).withColumn("decoded_text", clp_decode_column())
+    return rec.where(
+        ~F.struct(*layout).eqNullSafe(F.col("_orig"))
+        | ~(
+            (F.col("text") == F.col("decoded_text"))
+            | (F.col("text").isNull() & F.col("decoded_text").isNull())
+        )
+    ).select("conv_id", "turn_idx", "text", "decoded_text")
+
+
 def q_pipeline_roundtrip_violations_all(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Union of BOTH round-trip gates (i64 + 4-byte-parity), tagged by
-    mode; MUST return 0 rows.  Registered as ONE queries() entry so the
-    registry stays within the driver's 50-entry correctness window
-    (VERDICT r4 #1) without losing either gate; the per-mode queries stay
-    in extra_queries() and tests/test_pipeline.py."""
+    """Union of ALL round-trip gates (i64, 4-byte-parity, columnar
+    archive), tagged by mode; MUST return 0 rows.  Registered as ONE
+    queries() entry so the registry stays within the driver's 50-entry
+    correctness window (VERDICT r4 #1) without losing any gate; the
+    per-mode queries stay in extra_queries() and pytest."""
     i64 = _roundtrip_violations(spark, "i64").withColumn("mode", F.lit("i64"))
     b4 = _roundtrip_violations(spark, "4byte").withColumn("mode", F.lit("4byte"))
-    return i64.unionByName(b4)
+    arc = _archive_roundtrip_violations(spark).withColumn(
+        "mode", F.lit("archive")
+    )
+    return i64.unionByName(b4).unionByName(arc)
 
 
 def q_e_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1746,6 +1772,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_late_shipments": q_h_late_shipments,
         "pipeline_roundtrip_violations_i64": q_pipeline_roundtrip_violations,
         "pipeline_roundtrip_violations_4byte": q_pipeline_roundtrip_violations_4byte,
+        "pipeline_roundtrip_violations_archive": (
+            lambda spark, sf_dir: _archive_roundtrip_violations(spark)
+        ),
     }
 
 

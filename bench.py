@@ -201,6 +201,51 @@ def _ops_bench(spark, df, enc_path: str, tmp: str) -> dict:
         "logtype_prune_ratio": round(n_lt / max(n_rows, 1), 6),
         "vardict_prune_ratio": round(n_vd / max(n_rows, 1), 6),
     }
+
+    # --- archive: the columnar storage layout (kind-typed placeholders,
+    # derivable columns dropped — operators/archive.py) vs the working
+    # encode layout vs raw text, all parquet+zstd so the codec is held
+    # constant and only the layout varies.
+    from fluent_bit_clp_spark.operators.archive import from_archive, to_archive
+
+    def _dir_bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    layout = ["logtype", "var_kinds", "encoded_vars", "dict_vars",
+              "dict_var_ids", "logtype_id"]
+    raw_p = os.path.join(tmp, "bench_store_raw")
+    work_p = os.path.join(tmp, "bench_store_work")
+    arch_p = os.path.join(tmp, "bench_store_arch")
+    df.select("text").write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(raw_p)
+    enc.select(*layout).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(work_p)
+    to_sec = _min_time(
+        lambda: to_archive(enc.select(*layout))
+        .write.mode("overwrite").option("compression", "zstd").parquet(arch_p)
+    )
+    from_sec = _min_time(
+        lambda: from_archive(spark.read.parquet(arch_p))
+        .write.mode("overwrite").format("noop").save()
+    )
+    raw_b, work_b, arch_b = map(_dir_bytes, (raw_p, work_p, arch_p))
+    out["archive"] = {
+        "rows": n_rows,
+        "raw_text_zstd_bytes": raw_b,
+        "working_layout_zstd_bytes": work_b,
+        "archive_layout_zstd_bytes": arch_b,
+        "archive_vs_working": round(arch_b / max(work_b, 1), 4),
+        "archive_vs_raw_text": round(arch_b / max(raw_b, 1), 4),
+        "to_archive_write_sec": to_sec,
+        "from_archive_scan_sec": from_sec,
+    }
     return out
 
 

@@ -262,7 +262,17 @@ def clp_encode(
             "transform(dict_vars, v -> case when v is not null then xxhash64(v) end)"
         ),
     )
-    out = out.withColumn("logtype_id", F.expr("xxhash64(logtype)"))
+    out = out.withColumn(
+        "logtype_id",
+        # xxhash64(NULL) is Spark's non-null seed hash; null text must
+        # yield null logtype_id like the pandas twin (clp_pandas.py
+        # _encode_one: None text → all-None row) or the twins diverge on
+        # exactly the column the equality test used to skip
+        F.expr(
+            "case when logtype is null then cast(null as bigint) "
+            "else xxhash64(logtype) end"
+        ),
+    )
     return out.drop("_esc", "_vars")
 
 

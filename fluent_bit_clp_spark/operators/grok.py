@@ -66,6 +66,69 @@ GROK_PATTERNS: dict[str, str] = {
     ),
     "HTTPMETHOD": "(?:GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)",
     "URIPATH": "(?:/[A-Za-z0-9._%+-]*)+",
+    # --- breadth batch (round 5): the grok-patterns entries log
+    # pipelines hit most, rewritten in the same portable subset.
+    # Composition via %{...} references (expanded by compile_grok);
+    # deviation from Logstash noted per-entry where it exists.
+    "BASE10NUM": "[+-]?(?:[0-9]+(?:[.][0-9]+)?|[.][0-9]+)",
+    "YEAR": "[0-9]{4}",
+    "MONTH": "(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)",
+    "MONTHDAY": "(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "TIME": "[0-9]{1,2}:[0-9]{2}:[0-9]{2}(?:[.][0-9]+)?",
+    # Logstash: %{MONTH} +%{MONTHDAY} %{TIME}
+    "SYSLOGTIMESTAMP": "%{MONTH} +%{MONTHDAY} %{TIME}",
+    # apache access-log clock: 10/Oct/2000:13:55:36 -0700
+    "HTTPDATE": "%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} [+-][0-9]{4}",
+    "HOSTNAME": (
+        "[A-Za-z0-9][A-Za-z0-9_-]{0,62}"
+        "(?:[.][A-Za-z0-9][A-Za-z0-9_-]{0,62})*[.]?"
+    ),
+    "IPV4": "%{IP}",  # IP stays the dotted quad (pre-breadth contract)
+    # compressed-form alternation, longest-match-first — the standard
+    # portable IPv6 shape (no lookarounds, unlike some grok variants)
+    "IPV6": (
+        "(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        "|(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+        "|(?:[0-9A-Fa-f]{1,4}:){1,5}(?::[0-9A-Fa-f]{1,4}){1,2}"
+        "|(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3}"
+        "|(?:[0-9A-Fa-f]{1,4}:){1,3}(?::[0-9A-Fa-f]{1,4}){1,4}"
+        "|(?:[0-9A-Fa-f]{1,4}:){1,2}(?::[0-9A-Fa-f]{1,4}){1,5}"
+        "|[0-9A-Fa-f]{1,4}:(?::[0-9A-Fa-f]{1,4}){1,6}"
+        "|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+        "|:(?::[0-9A-Fa-f]{1,4}){1,7}|::)"
+    ),
+    "IPORHOST": "(?:%{IPV6}|%{IP}|%{HOSTNAME})",
+    "UUID": "[0-9A-Fa-f]{8}-(?:[0-9A-Fa-f]{4}-){3}[0-9A-Fa-f]{12}",
+    "COMMONMAC": "(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}",
+    "WINDOWSMAC": "(?:[0-9A-Fa-f]{2}-){5}[0-9A-Fa-f]{2}",
+    "CISCOMAC": "(?:[0-9A-Fa-f]{4}[.]){2}[0-9A-Fa-f]{4}",
+    "MAC": "(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    "USERNAME": "[A-Za-z0-9._-]+",
+    "USER": "%{USERNAME}",
+    "EMAILADDRESS": "[A-Za-z0-9._%+-]+@%{HOSTNAME}",
+    # escape-aware double/single-quoted string, backreference-free
+    "QUOTEDSTRING": (
+        "(?:\"(?:\\\\.|[^\\\\\"])*\"|'(?:\\\\.|[^\\\\'])*')"
+    ),
+    "QS": "%{QUOTEDSTRING}",
+    "URIPARAM": "[?][A-Za-z0-9._%&=+;,#~-]*",
+    "URIPATHPARAM": "%{URIPATH}(?:%{URIPARAM})?",
+    "URIHOST": "%{IPORHOST}(?::%{POSINT})?",
+    "PROG": "[A-Za-z0-9._/-]+",
+    # Logstash nests named program/pid fields; ours stays unnamed so
+    # using it bare doesn't inject surprise columns — name at the use
+    # site: "%{PROG:program}(?:\[%{POSINT:pid:int}\])?"
+    "SYSLOGPROG": "%{PROG}(?:\\[%{POSINT}\\])?",
+    # composite access-log lines: using these bare contributes their
+    # named fields (clientip, verb, ..., agent) to the caller
+    "COMMONAPACHELOG": (
+        "%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "
+        "\\[%{HTTPDATE:timestamp}\\] "
+        "\"(?:%{HTTPMETHOD:verb} %{NOTSPACE:request}"
+        "(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
+        "%{POSINT:response:int} (?:%{POSINT:bytes:long}|-)"
+    ),
+    "COMBINEDAPACHELOG": "%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
 }
 
 # regex metacharacters in literal grok text get a backslash escape —
@@ -93,6 +156,9 @@ def _escape_literal(text: str) -> str:
     return "".join(("\\" + c) if c in _META else c for c in text)
 
 
+_MAX_GROK_DEPTH = 16
+
+
 def compile_grok(
     pattern: str, extra_patterns: dict[str, str] | None = None
 ) -> tuple[str, dict[str, int], dict[str, str]]:
@@ -105,42 +171,74 @@ def compile_grok(
     /``:double``/``:bool``) records a cast target applied by
     :func:`grok_parse`.  Unknown pattern names raise ``KeyError`` with
     the offending token; unknown cast types raise ``ValueError``.
+
+    Library bodies may themselves contain ``%{...}`` references
+    (Logstash's pattern-composition model — grok-patterns'
+    ``COMMONAPACHELOG`` et al. are built this way): references expand
+    recursively, and a *named* reference inside a body contributes its
+    field to the caller (``%{COMBINEDAPACHELOG}`` alone yields
+    clientip/verb/.../agent).  Group numbers follow '(' order, so the
+    numbering a nested expansion produces is exactly Java/RE2/Python's.
+    Cycles are cut off at depth 16 with a ``ValueError``.  Everything
+    outside ``%{...}`` in a *body* is regex (only the top-level user
+    template gets literal-escaping).
     """
     lib = dict(GROK_PATTERNS)
     if extra_patterns:
         lib.update(extra_patterns)
-    out: list[str] = []
     fields: dict[str, int] = {}
     casts: dict[str, str] = {}
-    pos = 0
     group = 0
-    for m in _TOKEN_RE.finditer(pattern):
-        out.append(_escape_literal(pattern[pos : m.start()]))
-        name, field, cast = m.group(1), m.group(2), m.group(3)
-        if name not in lib:
-            raise KeyError(f"unknown grok pattern %{{{name}}} in {pattern!r}")
-        body = lib[name]
-        if field:
-            if field in fields:
-                raise ValueError(f"duplicate grok field {field!r} in {pattern!r}")
-            group += 1
-            fields[field] = group
-            out.append(f"({body})")
-            if cast:
-                if cast not in _CAST_TYPES:
+
+    def emit(text: str, depth: int, literal: bool) -> str:
+        nonlocal group
+        if depth > _MAX_GROK_DEPTH:
+            raise ValueError(
+                f"grok pattern nesting exceeds {_MAX_GROK_DEPTH} "
+                f"(reference cycle?) in {pattern!r}"
+            )
+        out: list[str] = []
+        pos = 0
+        for m in _TOKEN_RE.finditer(text):
+            chunk = text[pos : m.start()]
+            out.append(_escape_literal(chunk) if literal else chunk)
+            name, field, cast = m.group(1), m.group(2), m.group(3)
+            if name not in lib:
+                raise KeyError(
+                    f"unknown grok pattern %{{{name}}} in {pattern!r}"
+                )
+            if field:
+                if field in fields:
                     raise ValueError(
-                        f"unknown grok cast type {cast!r} in {pattern!r} "
-                        f"(supported: {sorted(_CAST_TYPES)})"
+                        f"duplicate grok field {field!r} in {pattern!r}"
                     )
-                casts[field] = _CAST_TYPES[cast]
-        else:
-            # cast can't appear without a field: a lone ":xyz" segment is
-            # consumed by the field group first, and "::xyz" fails the
-            # token regex entirely (left as literal text)
-            out.append(f"(?:{body})")
-        pos = m.end()
-    out.append(_escape_literal(pattern[pos:]))
-    return "".join(out), fields, casts
+                group += 1
+                fields[field] = group  # outer '(' numbered before nested
+                out.append(f"({emit(lib[name], depth + 1, False)})")
+                if cast:
+                    if cast not in _CAST_TYPES:
+                        raise ValueError(
+                            f"unknown grok cast type {cast!r} in {pattern!r} "
+                            f"(supported: {sorted(_CAST_TYPES)})"
+                        )
+                    casts[field] = _CAST_TYPES[cast]
+            else:
+                # cast can't appear without a field: a lone ":xyz" segment
+                # is consumed by the field group first, and "::xyz" fails
+                # the token regex entirely (left as literal text)
+                out.append(f"(?:{emit(lib[name], depth + 1, False)})")
+            pos = m.end()
+        tail = text[pos:]
+        out.append(_escape_literal(tail) if literal else tail)
+        return "".join(out)
+
+    # the template is literal text + tokens, but a leading '^' / trailing
+    # '$' keep their anchor meaning (the documented way to pin the match
+    # — grok's default match floats); interior ^/$ are literal chars.
+    head = "^" if pattern.startswith("^") else ""
+    tail = "$" if pattern.endswith("$") else ""
+    body = pattern[len(head) : len(pattern) - len(tail) or None]
+    return head + emit(body, 0, True) + tail, fields, casts
 
 
 def grok_match(text_col: str | Column, pattern: str) -> Column:

@@ -1,0 +1,133 @@
+"""Columnar archive layout (operators/archive.py): exact round trip,
+kind-typed placeholder semantics, and the no-Python plan guarantee."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fluent_bit_clp_spark.functions.clp_native import (
+    clp_decode_column,
+    clp_encode,
+)
+from fluent_bit_clp_spark.operators.archive import (
+    PH_DICT,
+    PH_FLOAT,
+    PH_INT,
+    from_archive,
+    to_archive,
+)
+
+CASES = [
+    "GET /api/v2/users/123?page=4 took 1.5 ms",
+    "plain text, no variables at all",
+    "hex id deadbeef12 and -42 and 0.75 and 007 and v1.2.3",
+    "literal controls \x10 \x11 \x12 \x13 around 9.9 and x\x12y7",
+    "\x12\x13\x11\x10",
+    "",
+    None,
+    "-0 00.5 1e5 3.14159 999999999999999999999 1.234567890123456789",
+    "only-dict tokens abc123 def456",
+    "only-int 1 2 3 only-float 1.5 2.5",
+]
+
+ROUNDTRIP_COLS = [
+    "text",
+    "logtype",
+    "var_kinds",
+    "encoded_vars",
+    "dict_vars",
+    "dict_var_ids",
+    "logtype_id",
+]
+
+
+def _frame(spark, texts):
+    return clp_encode(
+        spark.createDataFrame([(t,) for t in texts], "text string"), "text"
+    )
+
+
+def _rows(df):
+    return [tuple(r) for r in df.select(*ROUNDTRIP_COLS).collect()]
+
+
+def test_archive_roundtrip_fixed_cases(spark):
+    enc = _frame(spark, CASES)
+    assert _rows(from_archive(to_archive(enc))) == _rows(enc)
+
+
+def test_archive_decode_matches_text(spark):
+    rec = from_archive(to_archive(_frame(spark, CASES)))
+    for r in rec.withColumn("d", clp_decode_column()).select("text", "d").collect():
+        assert r.d == r.text
+
+
+def test_archive_drops_derivable_columns_and_nulls(spark):
+    arch = to_archive(_frame(spark, CASES))
+    assert {"var_kinds", "dict_var_ids", "logtype_id"}.isdisjoint(arch.columns)
+    # compacted arrays carry no null slots
+    bad = arch.where(
+        F.expr("exists(encoded_vars, v -> v is null)")
+        | F.expr("exists(dict_vars, v -> v is null)")
+    ).count()
+    assert bad == 0
+
+
+def test_archive_placeholders_are_kind_typed(spark):
+    arch = to_archive(
+        _frame(spark, ["GET /api/v2/users/123?page=4 took 1.5 ms"])
+    )
+    logtype = arch.select("logtype").first()[0]
+    # template 'GET /api/v%d/users/%d?page=%d took %f ms': the path
+    # tokens tokenize as dict vars ('/api/v2/users/123' contains '/'),
+    # so the placeholder stream must mix kinds — and every bare
+    # placeholder byte in the typed template must be one of the three.
+    marks = re.findall(f"[{PH_INT}{PH_DICT}{PH_FLOAT}]", logtype)
+    assert marks and set(marks) <= {PH_INT, PH_DICT, PH_FLOAT}
+    # all-int text keeps the working layout's byte: 0x11 still means int
+    simple = to_archive(_frame(spark, ["count 42"])).select("logtype").first()[0]
+    assert PH_INT in simple and PH_DICT not in simple and PH_FLOAT not in simple
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_archive_roundtrip_property(spark, texts):
+    # session-scoped fixture: allowed inside @given (hypothesis only
+    # rejects function-scoped ones), so each example reuses the JVM.
+    enc = _frame(spark, texts)
+    assert _rows(from_archive(to_archive(enc))) == _rows(enc)
+
+
+def test_archive_roundtrip_scales_to_huge_turns(spark):
+    """The synthetic transcript table contains multi-MiB turns with
+    ~240k variables; re-alignment must be O(v log v), not O(v²) (the
+    prefix-count shape ran this row for minutes).  One 60k-variable turn
+    round-trips in seconds or this test times the suite out."""
+    text = " ".join(
+        str(i) if i % 3 else f"id-{i:x}beef" for i in range(60_000)
+    )
+    enc = _frame(spark, [text, None])
+    assert _rows(from_archive(to_archive(enc))) == _rows(enc)
+
+
+def test_archive_plan_stays_native(spark):
+    """Both directions are whole-stage-codegen'd expressions — no
+    Python/Arrow eval nodes anywhere in the plan."""
+    plan = (
+        from_archive(to_archive(_frame(spark, CASES)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan

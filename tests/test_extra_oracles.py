@@ -48,7 +48,8 @@ def test_extra_query_matches_oracle(spark, con, name):
 
 @pytest.mark.parametrize(
     "name", ["pipeline_roundtrip_violations_i64",
-             "pipeline_roundtrip_violations_4byte"]
+             "pipeline_roundtrip_violations_4byte",
+             "pipeline_roundtrip_violations_archive"]
 )
 def test_roundtrip_gates_zero_rows(spark, name):
     assert E.extra_queries()[name](spark, SF).count() == 0

@@ -38,13 +38,82 @@ def test_compile_rejects_unknown_and_duplicate():
 
 
 def test_pattern_library_is_portable_syntax():
-    """Every library pattern must compile in Python re (a proxy for the
-    shared Java/RE2/Python portable subset: no named groups, no
-    lookbehind — those would raise here or diverge in RE2)."""
-    for name, body in GROK_PATTERNS.items():
-        re.compile(body)
-        assert "(?P<" not in body and "(?<" not in body, name
-        assert "(?=" not in body and "(?!" not in body, name
+    """Every library pattern must compile in Python re AFTER reference
+    expansion (a proxy for the shared Java/RE2/Python portable subset:
+    no named groups, no lookbehind — those would raise here or diverge
+    in RE2)."""
+    for name in GROK_PATTERNS:
+        rx, _, _ = compile_grok(f"%{{{name}}}")
+        re.compile(rx)
+        assert "(?P<" not in rx and "(?<" not in rx, name
+        assert "(?=" not in rx and "(?!" not in rx, name
+
+
+def test_nested_reference_expansion():
+    """Library bodies may reference other patterns (Logstash's
+    composition model): %{IPORHOST} expands through IPV6/IP/HOSTNAME."""
+    rx, fields, _ = compile_grok("^%{IPORHOST:host}$")
+    assert fields == {"host": 1}
+    pat = re.compile(rx)
+    for ok in ["10.0.0.1", "api-3.internal.example.com", "::1",
+               "fe80::1ff:fe23:4567:890a"]:
+        assert pat.match(ok), ok
+    assert not pat.match("not a host!")
+
+
+def test_reference_cycle_raises():
+    with pytest.raises(ValueError, match="cycle"):
+        compile_grok("%{A}", extra_patterns={"A": "x%{B}", "B": "%{A}y"})
+
+
+APACHE_LINE = (
+    '203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] '
+    '"GET /apache_pb.gif?ref=1 HTTP/1.0" 200 2326 '
+    '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98)"'
+)
+
+
+def test_combined_apache_composite_fields_propagate():
+    """A bare %{COMBINEDAPACHELOG} contributes the composite's named
+    fields (and their casts) to the caller, numbered in '(' order."""
+    rx, fields, casts = compile_grok("%{COMBINEDAPACHELOG}")
+    assert list(fields) == [
+        "clientip", "ident", "auth", "timestamp", "verb", "request",
+        "httpversion", "rawrequest", "response", "bytes", "referrer",
+        "agent",
+    ]
+    assert list(fields.values()) == list(range(1, 13))
+    assert casts == {"response": "int", "bytes": "long"}
+    m = re.search(rx, APACHE_LINE)
+    assert m
+    assert m.group(fields["clientip"]) == "203.0.113.9"
+    assert m.group(fields["verb"]) == "GET"
+    assert m.group(fields["response"]) == "200"
+    assert m.group(fields["agent"]) == '"Mozilla/4.08 [en] (Win98)"'
+
+
+def test_combined_apache_grok_parse_both_shapes(spark):
+    """grok_parse extracts the 12 composite fields on Spark, single-pass
+    and multi-pass byte-identical, casts applied ($10+ group references
+    in the single-pass rewrite must resolve greedily, as Java does)."""
+    df = spark.createDataFrame(
+        [(APACHE_LINE,), ("malformed line",), (None,)], "text string"
+    )
+    rows = {}
+    for sp in (True, False):
+        out = grok_parse(df, "text", "%{COMBINEDAPACHELOG}", single_pass=sp)
+        rows[sp] = [tuple(r) for r in out.orderBy(F.col("text").asc_nulls_first()).collect()]
+    assert rows[True] == rows[False]
+    good = [r for r in rows[True] if r[0] == APACHE_LINE][0]
+    out_cols = grok_parse(df, "text", "%{COMBINEDAPACHELOG}").columns
+    d = dict(zip(out_cols, good))
+    assert d["clientip"] == "203.0.113.9"
+    assert d["response"] == 200 and d["bytes"] == 2326
+    # Spark's regexp_extract collapses non-participating groups to ''
+    # (unlike Python re's None) — both execution shapes agree on it
+    assert d["httpversion"] == "1.0" and d["rawrequest"] == ""
+    bad = [r for r in rows[True] if r[0] == "malformed line"][0]
+    assert all(v is None for v in bad[1:])
 
 
 def test_grok_parse_extracts_and_nulls_unmatched(spark):
