@@ -800,6 +800,67 @@ def q_p_grok_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "verb", "path", "page", "ms")
 
 
+# apache-combined access-log line, built from id with the SAME arithmetic
+# on both sides (Spark expr here, DuckDB SQL in the oracle) so the grok
+# composite is pinned end-to-end without a fixture.
+_APACHE_LINE_SQL = (
+    "concat('203.0.', id % 7, '.', id % 250, ' - user', id % 13, ' [', "
+    "lpad(cast(id % 28 + 1 as string), 2, '0'), '/Oct/2025:', "
+    "lpad(cast(id % 24 as string), 2, '0'), ':', "
+    "lpad(cast(id % 60 as string), 2, '0'), ':', "
+    "lpad(cast((id * 7) % 60 as string), 2, '0'), ' -0700] \"', "
+    "case cast(id % 4 as int) when 0 then 'GET' when 1 then 'POST' "
+    "when 2 then 'PUT' else 'DELETE' end, "
+    "' /api/v2/items/', id, '?page=', id % 9, ' HTTP/1.1\" ', "
+    "case cast(id % 5 as int) when 0 then 500 when 1 then 404 else 200 end, "
+    "' ', (id * 37) % 100000, "
+    "' \"http://ref.example/', id % 17, '\" \"agent/5.0 (x11)\"')"
+)
+_APACHE_FIELDS = [
+    "clientip", "auth", "timestamp", "verb", "request", "httpversion",
+    "response", "bytes", "referrer", "agent",
+]
+
+
+def q_p_grok_apache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMBINEDAPACHELOG composite (round-5 grok composition): a bare
+    %{COMBINEDAPACHELOG} propagates the composite's named fields + casts
+    through recursive pattern expansion; the oracle rebuilds the same
+    lines with identical integer arithmetic and runs the identical
+    compiled regex (numbered groups) in DuckDB."""
+    from fluent_bit_clp_spark.operators.grok import grok_parse
+
+    df = spark.range(400).select("id", F.expr(_APACHE_LINE_SQL).alias("text"))
+    return grok_parse(df, "text", "%{COMBINEDAPACHELOG}").select(
+        "id", *_APACHE_FIELDS
+    )
+
+
+def _grok_apache_oracle_sql() -> str:
+    from fluent_bit_clp_spark.operators.grok import compile_grok
+
+    rx, fields, casts = compile_grok("%{COMBINEDAPACHELOG}")
+    rx_sql = rx.replace("'", "''")
+    # DuckDB's numeric-group regexp_extract caps the index at 9; the
+    # name-list variant returns a struct of ALL capture groups in order
+    all_fields = sorted(fields, key=fields.get)
+    names = ", ".join(f"'{f}'" for f in all_fields)
+    cast_sql = {"int": "integer", "long": "bigint"}
+    cols = []
+    for f in _APACHE_FIELDS:
+        e = f"g.{f}"
+        if f in casts:
+            e = f"cast({e} as {cast_sql[casts[f]]})"
+        cols.append(f"{e} as {f}")
+    return (
+        f"with t as (select i as id, {_APACHE_LINE_SQL} as text "
+        "from range(400) r(i)), "
+        f"m as (select id, regexp_extract(text, '{rx_sql}', [{names}]) "
+        "as g from t) "
+        f"select id, {', '.join(cols)} from m"
+    )
+
+
 def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink routed-row counts over the transcript pipeline (north_rule
     correctness aggregate).  Oracle-backed since round 4: DuckDB recomputes
@@ -1775,13 +1836,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_roundtrip_violations_archive": (
             lambda spark, sf_dir: _archive_roundtrip_violations(spark)
         ),
+        "p_grok_apache": q_p_grok_apache,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
-    """DuckDB oracles for extra_queries() (the two round-trip gates are
+    """DuckDB oracles for extra_queries() (the three round-trip gates are
     rows-only 0-row contracts, checked in pytest instead)."""
     return {
+        "p_grok_apache": _grok_apache_oracle_sql(),
         "e1_logtype_dense": (
             f"with d as (select distinct regexp_replace({_LINE_SQL}, '{VAR_TOKEN_RE}', "
             "chr(17), 'g') as logtype from events) "

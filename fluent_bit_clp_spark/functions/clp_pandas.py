@@ -240,11 +240,21 @@ def _encode_batch(texts: pd.Series, mode: str = MODE_I64) -> pd.DataFrame:
             continue
         ids = [None if d is None else _xxh64_str(d) for d in dicts]
         rows.append((lt, kinds, encs, dicts, ids, _xxh64_str(lt)))
-    return pd.DataFrame(
+    out = pd.DataFrame(
         rows,
         columns=["logtype", "var_kinds", "encoded_vars", "dict_vars",
                  "dict_var_ids", "logtype_id"],
     )
+    # logtype_id is the one SCALAR int column: pandas coerces int+None
+    # rows to float64, silently rounding |id| > 2^53 for EVERY row in any
+    # batch that contains a null text (and making the stored id depend on
+    # batch composition — breaking the hash-stability contract).  The
+    # array columns are object-dtype lists and convert exactly; pin the
+    # scalar to nullable Int64 so Arrow gets exact 64-bit values.
+    out["logtype_id"] = pd.array(
+        [r[5] for r in rows], dtype="Int64"
+    )
+    return out
 
 
 def clp_encode_udf(mode: str = MODE_I64):

@@ -218,6 +218,7 @@ def run_to_sinks(
     bin_bytes = cfg.ir_bin_bytes if cfg is not None else IR_BIN_BYTES
     block_turns = cfg.block_turns if cfg is not None else DEFAULT_BLOCK_TURNS
     encoding_mode = cfg.encoding_mode if cfg is not None else "i64"
+    sink_layout = cfg.sink_layout if cfg is not None else "working"
 
     sinks_path = os.path.join(out_dir, "sinks")
     done = lineage.committed_sinks(out_dir, run_id)
@@ -234,6 +235,15 @@ def run_to_sinks(
                 f"run '{run_id}' committed data with encoding_mode="
                 f"{committed_mode!r}; resume requested {encoding_mode!r} — "
                 "use a new run_id/output for a different encoding"
+            )
+        committed_layout = ingest.get("sink_layout", "working")
+        if committed_layout != sink_layout:
+            # same contract as encoding_mode: the committed schema would
+            # not match what this run's consumers expect
+            raise ValueError(
+                f"run '{run_id}' committed data with sink_layout="
+                f"{committed_layout!r}; resume requested {sink_layout!r} — "
+                "use a new run_id/output for a different layout"
             )
     else:
         # Phase 0: narrow offsets job (route key + byte sizes only).
@@ -262,16 +272,38 @@ def run_to_sinks(
             F.sum(F.coalesce(F.octet_length("text"), F.lit(0))).alias("num_bytes"),
             F.sum(F.col("encode_failed").cast("long")).alias("encode_failures"),
         )
+        out_df = encoded.select(*OUTPUT_COLS, "encode_failed")
+        if sink_layout == "archive":
+            # storage-tier transform right before the write (the 100 TB
+            # placement the archive module documents): kind-typed
+            # placeholders, derivable columns dropped — same single
+            # partitionBy(sink) commit, 0.57x the stored bytes
+            from fluent_bit_clp_spark.operators.archive import to_archive
+
+            out_df = to_archive(out_df)
         (
-            encoded.select(*OUTPUT_COLS, "encode_failed")
-            .write.mode("overwrite")
+            out_df.write.mode("overwrite")
             .partitionBy("sink")
             .parquet(sinks_path)
         )
-        ingest = {**obs.get, "encoding_mode": encoding_mode}
+        ingest = {
+            **obs.get,
+            "encoding_mode": encoding_mode,
+            "sink_layout": sink_layout,
+        }
         lineage.mark_data_committed(out_dir, run_id, ingest)
     # Phase 2: per-sink manifests from the committed output (narrow read).
+    # written_tbl is the on-disk layout (counts/metrics/var-dict are
+    # layout-agnostic: compact dict_vars carries the same non-null set);
+    # consume_tbl is the working-layout view — Catalyst prunes the
+    # from_archive reconstruction down to whatever each reader touches.
     written_tbl = spark.read.parquet(sinks_path)
+    if sink_layout == "archive":
+        from fluent_bit_clp_spark.operators.archive import from_archive
+
+        consume_tbl = from_archive(written_tbl)
+    else:
+        consume_tbl = written_tbl
     counts = {
         r["sink"]: r["n"]
         for r in written_tbl.groupBy("sink").agg(F.count("*").alias("n")).collect()
@@ -294,7 +326,7 @@ def run_to_sinks(
             raise RuntimeError(f"injected failure after {written} sinks")
     # Phase 3: dictionaries + metrics — column-pruned read-backs of the
     # written parquet (hash IDs: stable across partitions/resume).
-    written_tbl.select("logtype_id", "logtype").distinct().write.mode(
+    consume_tbl.select("logtype_id", "logtype").distinct().write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "logtype_dict"))
     (
@@ -320,7 +352,7 @@ def run_to_sinks(
 
         tz = cfg.timezone if cfg is not None else DEFAULT_TIMEZONE
         mode = ingest.get("encoding_mode", "i64")
-        write_ir_chunks(written_tbl, encoding=mode, timezone=tz).write.mode(
+        write_ir_chunks(consume_tbl, encoding=mode, timezone=tz).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "ir_chunks"))
     return {
@@ -328,3 +360,24 @@ def run_to_sinks(
         "resumed_skipped": sorted(done),
         "ingest": ingest,
     }
+
+
+def load_sinks(
+    spark: SparkSession, out_dir: str, run_id: str = "run-0"
+) -> DataFrame:
+    """Consumer-side reader for a committed run's sink table: detects the
+    layout recorded in the data-commit marker and always returns the
+    WORKING encode layout, whatever was stored.
+
+    For ``sink_layout="archive"`` runs the reconstruction is lazy —
+    Catalyst prunes it per query, so e.g. a logtype-only search over
+    ``load_sinks(...)`` still scans a single column (pinned in
+    tests/test_archive.py::test_from_archive_prunes_unused_reconstruction).
+    """
+    marker = lineage.read_data_marker(out_dir, run_id)
+    tbl = spark.read.parquet(os.path.join(out_dir, "sinks"))
+    if marker.get("sink_layout", "working") == "archive":
+        from fluent_bit_clp_spark.operators.archive import from_archive
+
+        return from_archive(tbl)
+    return tbl

@@ -179,6 +179,10 @@ class JobConfig:
     block_turns: int = 8192
     encoding_mode: str = "i64"           # "4byte" = CLP FourByteEncoding
                                          # parity (ingestion.go:66-67)
+    sink_layout: str = "working"         # "archive" = columnar archive
+                                         # storage layout (operators/
+                                         # archive.py; CLP's kind-typed
+                                         # placeholder trick, 0.57x bytes)
     long_text_bytes: int = 16384
     errors: list[str] = field(default_factory=list, repr=False)
 
@@ -198,6 +202,8 @@ class JobConfig:
             errs.append("single_key: required when use_single_key")
         if self.encoding_mode not in ("i64", "4byte"):
             errs.append("encoding_mode: must be 'i64' or '4byte'")
+        if self.sink_layout not in ("working", "archive"):
+            errs.append("sink_layout: must be 'working' or 'archive'")
         if errs:
             raise ValueError("; ".join(errs))  # joined errors, config.go:144-147
         return self

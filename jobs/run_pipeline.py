@@ -53,6 +53,14 @@ def main() -> None:
         help="IANA timezone serialized into IR-stream preambles",
     )
     ap.add_argument(
+        "--sink-layout",
+        choices=["working", "archive"],
+        default="working",
+        help="'archive': write sinks in the columnar archive layout "
+        "(kind-typed placeholders, derivable columns dropped — 0.57x "
+        "stored bytes; consumers reconstruct with from_archive)",
+    )
+    ap.add_argument(
         "--emit-ir-chunks",
         action="store_true",
         help="additionally materialize the reference's per-chunk compressed "
@@ -74,6 +82,7 @@ def main() -> None:
         block_turns=args.block_turns,
         encoding_mode=args.encoding,
         timezone=args.timezone,
+        sink_layout=args.sink_layout,
     ).validate()
 
     spark = SparkSession.builder.appName("clp-transcript-pipeline").getOrCreate()

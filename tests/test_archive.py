@@ -121,6 +121,19 @@ def test_archive_roundtrip_scales_to_huge_turns(spark):
     assert _rows(from_archive(to_archive(enc))) == _rows(enc)
 
 
+def test_from_archive_prunes_unused_reconstruction(spark, tmp_path):
+    """The archive docstring's 100 TB contract: a query that only touches
+    the template after from_archive must scan ONLY the logtype column
+    (no compact arrays read, no re-alignment executed)."""
+    p = str(tmp_path / "arch")
+    to_archive(_frame(spark, CASES[:4])).write.parquet(p)
+    q = from_archive(spark.read.parquet(p)).groupBy("logtype_id").count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and m.group(1) == "struct<logtype:string>", plan[:2000]
+    assert "array_sort" not in plan and "zip_with" not in plan
+
+
 def test_archive_plan_stays_native(spark):
     """Both directions are whole-stage-codegen'd expressions — no
     Python/Arrow eval nodes anywhere in the plan."""

@@ -221,3 +221,26 @@ def test_adversarial_texts_full_stack(spark):
     assert [r.conv_id for r in hits.collect()] == ["c3"]
     hits2 = search_encoded(enc, "plain * placeholder byte")
     assert [r.conv_id for r in hits2.collect()] == ["c0"]
+
+
+def test_pandas_ids_exact_when_batch_mixes_nulls(spark):
+    """Regression: pd.DataFrame coerces a scalar int column with any None
+    to float64, rounding |logtype_id| > 2^53 for EVERY row of the batch
+    (and making stored ids depend on batch composition).  Force null and
+    non-null texts into ONE partition (one Arrow batch) and require the
+    pandas ids to equal the native (JVM xxhash64) ids exactly."""
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+
+    texts = [f"level=INFO latency_ms={i} status={i % 7}" for i in range(40)]
+    df = spark.createDataFrame(
+        [(t,) for t in texts] + [(None,)], "text string"
+    ).repartition(1)
+    a = {
+        (r.logtype, r.logtype_id)
+        for r in clp_encode_pandas(df).select("logtype", "logtype_id").collect()
+    }
+    b = {
+        (r.logtype, r.logtype_id)
+        for r in clp_encode(df).select("logtype", "logtype_id").collect()
+    }
+    assert a == b

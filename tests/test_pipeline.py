@@ -467,3 +467,59 @@ def test_resume_rejects_changed_encoding(spark, tmp_path, tiny):
     ).validate()
     with pytest.raises(ValueError, match="encoding_mode"):
         run_to_sinks(spark, tiny, out, "run-e", cfg=cfg4)
+
+
+def test_archive_sink_layout_end_to_end(spark, tmp_path, tiny):
+    """sink_layout='archive' (JobConfig → run_to_sinks): the committed
+    sink table is the columnar archive layout, consumers reconstruct and
+    decode byte-equal to the input, and the dictionaries/metrics written
+    alongside match the working-layout run's exactly."""
+    from fluent_bit_clp_spark.plans.pipeline import load_sinks
+    from fluent_bit_clp_spark.sources.tables import JobConfig
+
+    out_w = str(tmp_path / "working")
+    out_a = str(tmp_path / "arch")
+    cfg = JobConfig(
+        input_path="x", output_dir=out_a, sink_layout="archive"
+    ).validate()
+    run_to_sinks(spark, tiny, out_w, "run-l")
+    run_to_sinks(spark, tiny, out_a, "run-l", cfg=cfg)
+
+    arch = spark.read.parquet(os.path.join(out_a, "sinks"))
+    assert {"var_kinds", "dict_var_ids", "logtype_id"}.isdisjoint(arch.columns)
+
+    # consumer contract: the layout-detecting reader reconstructs, and
+    # decode == input text per turn
+    dec = (
+        load_sinks(spark, out_a, "run-l")
+        .withColumn("decoded", clp_decode_column())
+        .select("conv_id", "turn_idx", "decoded")
+    )
+    bad = (
+        tiny.select("conv_id", "turn_idx", "text")
+        .join(dec, ["conv_id", "turn_idx"])
+        .where(
+            ~(F.col("text").eqNullSafe(F.col("decoded")))
+        )
+        .count()
+    )
+    assert bad == 0
+
+    # sidecar artifacts are layout-independent
+    for name in ("logtype_dict", "var_dict"):
+        a = {tuple(r) for r in spark.read.parquet(os.path.join(out_a, name)).collect()}
+        w = {tuple(r) for r in spark.read.parquet(os.path.join(out_w, name)).collect()}
+        assert a == w, name
+    ma = spark.read.parquet(os.path.join(out_a, "sink_metrics"))
+    mw = spark.read.parquet(os.path.join(out_w, "sink_metrics"))
+    assert sorted(map(tuple, ma.drop("run_id").collect())) == sorted(
+        map(tuple, mw.drop("run_id").collect())
+    )
+
+    # resume under a different layout must refuse (same contract as
+    # encoding_mode: committed schema != what consumers would expect)
+    with pytest.raises(ValueError, match="sink_layout"):
+        run_to_sinks(spark, tiny, out_a, "run-l")
+    # resume under the SAME layout replays counters without rewriting
+    res = run_to_sinks(spark, tiny, out_a, "run-l", cfg=cfg)
+    assert sorted(res["resumed_skipped"]) == sorted(res["sinks"])

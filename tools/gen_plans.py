@@ -186,6 +186,31 @@ What to look for (VERDICT r4 #3):
     out.append("""
 ```
 
+## Archive layout, pruned reconstruction (round-5 shape)
+
+What to look for (operators/archive.py's 100 TB contract): a
+logtype-only aggregate over `from_archive(scan)` must read ONLY the
+template column — `ReadSchema: struct<logtype:string>` — with no
+`array_sort`/`zip_with` re-alignment anywhere in the plan (Catalyst
+prunes the reconstruction of columns the query never touches).
+
+```
+""")
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.archive import from_archive, to_archive
+
+    arch_path = os.path.join(tmp, "arch")
+    to_archive(clp_encode(df.select("text"))).write.parquet(arch_path)
+    out.append(
+        formatted(
+            from_archive(spark.read.parquet(arch_path))
+            .groupBy("logtype_id")
+            .count()
+        ).strip()
+    )
+    out.append("""
+```
+
 ## Scale notes
 
 - The offsets job re-reads only `octet_length(text)` + 4 narrow columns;
