@@ -90,15 +90,25 @@ def _blocked_carry(
     established.
     """
     ts_dt = stacked.schema["_asof_ts"].dataType
+    # _exact: the lossless ordering form of the timestamp (the window
+    # sorts the raw column, so summaries must order by the same exact
+    # value — a double cast collapses distinct bigints beyond 2^53, e.g.
+    # nanosecond-epoch longs, and max_by could then carry a stale payload
+    # across a block boundary); _num: the double form, used ONLY for
+    # block bucketing, where approximation just moves a block edge
+    # consistently for every row.
     if isinstance(ts_dt, (T.TimestampType, T.TimestampNTZType)):
-        def _num():
-            return F.unix_micros(F.col("_asof_ts")).cast("double")
+        def _exact():
+            return F.unix_micros(F.col("_asof_ts"))
     elif isinstance(ts_dt, T.DateType):
-        def _num():
-            return F.unix_date(F.col("_asof_ts")).cast("double")
+        def _exact():
+            return F.unix_date(F.col("_asof_ts"))
     else:
-        def _num():
-            return F.col("_asof_ts").cast("double")
+        def _exact():
+            return F.col("_asof_ts")
+
+    def _num():
+        return _exact().cast("double")
     # block bounds: one map-side-combined min/max over the stacked ts —
     # two driver scalars, never data
     b = stacked.agg(F.min(_num()).alias("mn"), F.max(_num()).alias("mx")).first()
@@ -132,10 +142,16 @@ def _blocked_carry(
     # "last" → +inf on the negated axis); ties on the orderable payload
     # struct resolve identically (max _tb either way).
     rights = stacked.where(F.col("_side") == 0).withColumn("_asof_blk", _blk())
+    # EXACT ordering key (review fix r5: the double form tied distinct
+    # >2^53 timestamps): a (null-rank, exact-ts) struct reproduces the
+    # window's null placement without float infinities — backward sorts
+    # NULLS FIRST (rank 0 loses to every real ts), forward sorts NULLS
+    # LAST (rank 1 beats every real ts on the negated axis).
+    nn = F.col("_asof_ts").isNotNull().cast("int")
     if asc:
-        ts_key = F.coalesce(_num(), F.lit(float("-inf")))
+        ts_key = F.struct(nn.alias("_nn"), _exact().alias("_tv"))
     else:
-        ts_key = F.coalesce(-_num(), F.lit(float("inf")))
+        ts_key = F.struct((1 - nn).alias("_nn"), (-_exact()).alias("_tv"))
     summ = rights.groupBy(*on, "_asof_blk").agg(
         F.max_by(
             "_r", F.struct(ts_key.alias("_o1"), F.col("_tb").alias("_o2"))
@@ -151,13 +167,30 @@ def _blocked_carry(
         .orderBy(blk_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # NULL join keys: Window.partitionBy groups null keys together, so
+    # the carry joins must too — name-list joins are null-UNSAFE and
+    # silently dropped null-key left rows when time_blocks > 1 (review
+    # fix r5, verified divergence vs the single window).  eqNullSafe
+    # conditions on renamed copies keep the semantics identical.
+    keys = [*on, "_asof_blk"]
+
+    def _nullsafe_join(lhs: DataFrame, rhs: DataFrame, how: str) -> DataFrame:
+        renamed = rhs
+        for c in keys:
+            renamed = renamed.withColumnRenamed(c, "_j_" + c)
+        cond = None
+        for c in keys:
+            eq = lhs[c].eqNullSafe(renamed["_j_" + c])
+            cond = eq if cond is None else (cond & eq)
+        return lhs.join(renamed, cond, how).drop(*["_j_" + c for c in keys])
+
     carry = (
-        spine.join(summ, [*on, "_asof_blk"], "left")
+        _nullsafe_join(spine, summ, "left")
         .withColumn("_carry", F.last("_bl", ignorenulls=True).over(wc))
         .select(*on, "_asof_blk", "_carry")
     )
     # inner join is total: the spine covers every (key, block) in df
-    joined = df.join(carry, [*on, "_asof_blk"])
+    joined = _nullsafe_join(df, carry, "inner")
     return joined.withColumn("_m", F.coalesce("_m_blk", "_carry"))
 
 

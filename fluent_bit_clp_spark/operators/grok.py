@@ -252,8 +252,9 @@ def grok_match(text_col: str | Column, pattern: str) -> Column:
 
 # Separator for the single-pass group join: a control-char sequence that
 # never appears in normal log text.  Collisions (a GROUP VALUE containing
-# the sequence) are detected exactly — they add separators, so the split
-# yields > k parts — and those rows take the per-group fallback branch.
+# the sequence, or even a separator-byte suffix that would merge with an
+# inserted separator) are detected conservatively — any row containing a
+# separator byte at all takes the exact per-group fallback branch.
 _SP_SEP = "\x00\x1d\x00"
 
 
@@ -282,12 +283,13 @@ def grok_parse(
     """
     rx, fields, casts = compile_grok(pattern, extra_patterns)
     clashes = sorted(
-        {prefix + f for f in fields} & set(df.columns)
+        ({prefix + f for f in fields} | {"_grok_m", "_grok_parts"})
+        & set(df.columns)
     )
     if clashes:
         raise ValueError(
             f"grok fields would overwrite existing columns {clashes}; "
-            "set prefix= to disambiguate"
+            "set prefix= to disambiguate (or rename the _grok_* column)"
         )
     col = F.col(text_col)
     matched = col.rlike(rx)
@@ -295,10 +297,15 @@ def grok_parse(
     k = len(fields)
     if single_pass and k >= 2:
         # rewrite the LEFTMOST match (regexp_extract semantics: lazy ^.*?
-        # prefix) into '$1<sep>$2...<sep>$k'; (?s) so the .* legs span
-        # newlines; rx wrapped non-capturing so a top-level alternation
-        # can't swallow the anchors; group numbers are unchanged.
-        wrap = f"(?s)^.*?(?:{rx}).*$"
+        # prefix) into '$1<sep>$2...<sep>$k'; dotall is scoped to the two
+        # wrapper legs ONLY — (?s:.*?) / (?s:.*) — so the legs span
+        # newlines without changing what '.' means inside the USER's
+        # compiled pattern (a global (?s) would make DATA/GREEDYDATA span
+        # newlines in this mode but not in regexp_extract mode — review
+        # fix r5, verified divergence on multiline text); rx wrapped
+        # non-capturing so a top-level alternation can't swallow the
+        # anchors; group numbers are unchanged.
+        wrap = f"^(?s:.*?)(?:{rx})(?s:.*)$"
         repl = _SP_SEP.join(f"${i}" for i in range(1, k + 1))
         parts = F.split(F.regexp_replace(col, wrap, repl), _SP_SEP, -1)
         # temp columns evaluated once per input row: the k field
@@ -310,7 +317,12 @@ def grok_parse(
             "_grok_parts", F.when(F.col("_grok_m"), parts)
         )
         m = F.col("_grok_m")
-        ok = F.size("_grok_parts") == k
+        # split is exact iff no separator byte pre-exists in the text: a
+        # group value ENDING in a separator prefix ('…\x00\x1d') merges
+        # with the inserted separator and keeps the part count at k
+        # (review fix r5 — part-count alone missed partial overlaps), so
+        # any row containing \x00/\x1d takes the exact per-group fallback
+        ok = (F.size("_grok_parts") == k) & ~col.rlike("[\x00\x1d]")
         for field, idx in fields.items():
             extracted = (
                 F.when(m & ok, F.element_at("_grok_parts", idx))

@@ -91,12 +91,20 @@ def validate_output_store(
                 except Exception:
                     err_class = ""
             probe_sig = f"{type(e).__name__} {err_class} {e}"
+            # anchored to exception CLASS names / specific phrases, not
+            # free substrings (review fix r5: bare "Connect" matched
+            # SparkConnectGrpcException — every Spark-Connect failure
+            # misfiled as unreachable — and bare "Timeout" matched ACL
+            # errors whose message merely mentions a timeout)
             unreachable_markers = (
                 "SCHEME",            # FAILED_TO_LOAD_FILESYSTEM / invalid scheme
                 "UnknownHost",
                 "Unresolved",
-                "Connect",           # ConnectException / connection refused+timeout
-                "Timeout",
+                "ConnectException",
+                "connection refused",
+                "connection timed out",
+                "ConnectTimeout",
+                "SocketTimeout",
                 "NoRouteToHost",
                 "FileSystem",
                 "scheme",

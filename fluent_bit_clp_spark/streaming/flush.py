@@ -94,15 +94,31 @@ def stream_encode_to_sinks(
     checkpoint_dir: str,
     out_dir: str,
     spark,
+    sink_layout: str = "working",
 ):
     """readStream transcripts → CLP encode → per-sink partitioned parquet,
     exactly-once via the Structured Streaming checkpoint (the streaming
-    twin of plans/lineage.py's batch manifests)."""
+    twin of plans/lineage.py's batch manifests).
+
+    ``sink_layout="archive"`` stores the columnar archive layout
+    (operators/archive.py) — same option as the batch surface's
+    ``JobConfig.sink_layout``; the transform is a stateless map, so it
+    composes with the streaming plan unchanged."""
     from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
     from fluent_bit_clp_spark.operators.enrich import enrich
     from fluent_bit_clp_spark.operators.route import with_sink
 
+    if sink_layout not in ("working", "archive"):
+        # same contract as JobConfig.validate — a typo must not silently
+        # write the working layout under an 'archive' label
+        raise ValueError(
+            f"sink_layout: must be 'working' or 'archive', got {sink_layout!r}"
+        )
     enc = clp_encode_pandas(with_sink(enrich(stream, spark)))
+    if sink_layout == "archive":
+        from fluent_bit_clp_spark.operators.archive import to_archive
+
+        enc = to_archive(enc)
     return (
         enc.writeStream.format("parquet")
         .option("path", out_dir)

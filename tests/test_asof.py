@@ -234,3 +234,54 @@ def test_asof_with_map_payload_column(spark):
     got = asof_join(left, right, on=["k"]).collect()[0]
     assert got.ts_right == 5 and got.rid == 100
     assert dict(got.props) == {"a": "b"}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_time_blocks_null_join_key(spark, direction):
+    """Review fix r5: Window.partitionBy groups NULL keys, so the blocked
+    carry joins must be null-SAFE — name-list joins silently dropped
+    null-key left rows whenever time_blocks > 1."""
+    left = spark.createDataFrame(
+        [(None, 10, 1), ("k1", 10, 2), (None, 30, 3)],
+        "k string, ts bigint, lid int",
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 7), ("k1", 5, 8), (None, 25, 9)],
+        "k string, ts bigint, rid int",
+    )
+    single = {
+        (r.lid, r.rid)
+        for r in asof_join(left, right, on=["k"], direction=direction).collect()
+    }
+    blocked = {
+        (r.lid, r.rid)
+        for r in asof_join(
+            left, right, on=["k"], direction=direction, time_blocks=4
+        ).collect()
+    }
+    assert blocked == single
+    assert len(blocked) == 3  # the two null-key left rows survive
+
+
+def test_asof_time_blocks_exact_beyond_double_precision(spark):
+    """Review fix r5: block summaries must order by the EXACT timestamp —
+    a double cast ties distinct bigints beyond 2^53 (nanosecond-epoch
+    longs), the tie falls to the max-payload tie-break, and the FORWARD
+    carry (whose window wants the MINIMUM ts of the later block) then
+    hands a left row the wrong right payload."""
+    base = 1_700_000_000_000_000_000  # ns epoch, ~1.7e18 >> 2^53
+    left = spark.createDataFrame(
+        [(1, base + 1_000, 1)], "k int, ts bigint, lid int"
+    )
+    # two rights in a later block, 1 ns apart (tied as double); forward
+    # must match the EARLIER one — the max-_tb tie-break would pick the
+    # later (rid=21)
+    right = spark.createDataFrame(
+        [(1, base + 3_000, 20), (1, base + 3_001, 21)],
+        "k int, ts bigint, rid int",
+    )
+    single = asof_join(left, right, on=["k"], direction="forward").collect()[0]
+    blocked = asof_join(
+        left, right, on=["k"], direction="forward", time_blocks=4
+    ).collect()[0]
+    assert single.rid == blocked.rid == 20

@@ -266,3 +266,40 @@ def test_grok_type_cast_suffix(spark):
     assert rows[1].page is None and rows[1].ms is None
     with pytest.raises(ValueError, match="unknown grok cast"):
         compile_grok("%{INT:n:decimal}")
+
+
+def test_single_pass_dotall_does_not_leak_into_user_pattern(spark):
+    """Review fix r5: the single-pass wrapper's dotall must be scoped to
+    its own .* legs — a global (?s) made DATA/GREEDYDATA span newlines
+    in single-pass mode only, diverging from regexp_extract."""
+    df = spark.createDataFrame(
+        [("job A said hello\nworld end",)], "text string"
+    )
+    pat = "job %{NOTSPACE:jid} said %{GREEDYDATA:msg}"
+    fast = grok_parse(df, "text", pat, single_pass=True).collect()[0]
+    slow = grok_parse(df, "text", pat, single_pass=False).collect()[0]
+    assert fast.msg == slow.msg == "hello"
+
+
+def test_single_pass_partial_separator_overlap(spark):
+    """Review fix r5: a group value ENDING in a separator-byte prefix
+    merges with the inserted separator, keeping the part count at k —
+    part-count detection alone corrupted two fields; any row containing
+    a separator byte must take the exact fallback."""
+    df = spark.createDataFrame(
+        [("job A said B\x00\x1d end C",), ("job X said Y end Z",)],
+        "text string",
+    )
+    pat = "job %{NOTSPACE:jid} said %{DATA:msg} end %{NOTSPACE:tag}"
+    fast = {r.text: (r.msg, r.tag)
+            for r in grok_parse(df, "text", pat, single_pass=True).collect()}
+    slow = {r.text: (r.msg, r.tag)
+            for r in grok_parse(df, "text", pat, single_pass=False).collect()}
+    assert fast == slow
+    assert fast["job A said B\x00\x1d end C"] == ("B\x00\x1d", "C")
+
+
+def test_grok_temp_columns_guarded(spark):
+    df = spark.createDataFrame([("a 1", "x")], "text string, _grok_parts string")
+    with pytest.raises(ValueError, match="_grok_parts"):
+        grok_parse(df, "text", "a %{INT:n}")

@@ -262,3 +262,24 @@ def test_var_predicates_skip_wildcard_fragments(spark):
     # a delimiter between '*' and the token makes it unambiguous again
     assert len(compile_var_predicates("* 42-suffix")) == 1
     assert len(compile_var_predicates("a 42 *")) == 1
+
+
+def test_search_over_archive_reconstruction(spark, encoded):
+    """Search composes with the storage layout: running the identical
+    dictionary-pruned search through from_archive(to_archive(...)) must
+    return exactly the working-layout hits (the 100 TB read path — sinks
+    stored as archive, queried through the lazy reconstruction)."""
+    from fluent_bit_clp_spark.operators.archive import from_archive, to_archive
+
+    query = "Retrying container-* after *s: connection reset by peer"
+    direct = {
+        (r.conv_id, r.turn_idx)
+        for r in search_encoded(encoded, query)
+        .select("conv_id", "turn_idx").collect()
+    }
+    via_archive = {
+        (r.conv_id, r.turn_idx)
+        for r in search_encoded(from_archive(to_archive(encoded)), query)
+        .select("conv_id", "turn_idx").collect()
+    }
+    assert via_archive == direct and direct

@@ -145,3 +145,58 @@ def test_stream_encode_availablenow(spark, tmp_path):
     ).start()
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "out")).count() == 200
+
+
+def test_stream_encode_archive_layout(spark, tmp_path):
+    """Streaming twin of the batch sink_layout='archive' option: the
+    checkpointed stream writes the columnar archive layout, and the
+    reconstruction matches the batch encode of the same input."""
+    from fluent_bit_clp_spark.datagen import transcripts
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+    from fluent_bit_clp_spark.operators.archive import from_archive
+    from fluent_bit_clp_spark.operators.enrich import enrich
+    from fluent_bit_clp_spark.operators.route import with_sink
+
+    src = str(tmp_path / "src")
+    transcripts(spark, 200, with_edge_rows=False).write.parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).parquet(src)
+    q = stream_encode_to_sinks(
+        stream, str(tmp_path / "ckpt"), str(tmp_path / "out"), spark,
+        sink_layout="archive",
+    ).start()
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 200
+    assert {"var_kinds", "dict_var_ids", "logtype_id"}.isdisjoint(out.columns)
+    cols = ["conv_id", "turn_idx", "logtype", "var_kinds",
+            "encoded_vars", "dict_vars", "logtype_id"]
+    got = {
+        tuple(map(_canon_cell, r))
+        for r in from_archive(out).select(*cols).collect()
+    }
+    want = {
+        tuple(map(_canon_cell, r))
+        for r in clp_encode_pandas(
+            with_sink(enrich(spark.read.parquet(src), spark))
+        ).select(*cols).collect()
+    }
+    assert got == want
+
+
+def _canon_cell(v):
+    return tuple(v) if isinstance(v, list) else v
+
+
+def test_stream_encode_rejects_unknown_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).parquet(str(tmp_path))
+    with _pytest.raises(ValueError, match="sink_layout"):
+        stream_encode_to_sinks(
+            stream, str(tmp_path / "c"), str(tmp_path / "o"), spark,
+            sink_layout="Archive",
+        )

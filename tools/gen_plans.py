@@ -24,10 +24,19 @@ def formatted(df) -> str:
     # plans embed control-char literals (CLP placeholder \x11, grok
     # separator \x00\x1d\x00) — map them to visible symbols so PLANS.md
     # stays a text file
-    return (
+    # (review fix r5: the archive expressions add \x10/\x12/\x13 — map
+    # the rest of the C0 range generically so no future literal slips
+    # a raw control byte back into the file)
+    s = (
         s.replace("\x00", "<NUL>")
+        .replace("\x10", "<ESC>")
         .replace("\x11", "<PH>")
+        .replace("\x12", "<PHD>")
+        .replace("\x13", "<PHF>")
         .replace("\x1d", "<GS>")
+    )
+    return "".join(
+        c if c in "\n\t" or ord(c) >= 0x20 else f"<{ord(c):02X}>" for c in s
     )
 
 
