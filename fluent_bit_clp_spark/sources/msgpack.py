@@ -123,24 +123,59 @@ def _take_str(buf: bytes, pos: int, n: int):
 
 
 def _decode_array(buf: bytes, pos: int, n: int):
+    # fixstr / positive-fixint elements are decoded inline (log records
+    # are dominated by short strings — the recursive _decode_one call
+    # per element was ~40% of decode CPU; same fast path as _decode_map)
     out = []
     append = out.append
+    blen = len(buf)
     for _ in range(n):
-        v, pos = _decode_one(buf, pos)
+        b = buf[pos]
+        if 0xA0 <= b <= 0xBF:
+            end = pos + 1 + (b & 0x1F)
+            if end > blen:
+                raise MsgpackError("truncated payload")
+            v = buf[pos + 1 : end].decode("utf-8", "replace")
+            pos = end
+        elif b <= 0x7F:
+            v = b
+            pos += 1
+        else:
+            v, pos = _decode_one(buf, pos)
         append(v)
     return out, pos
 
 
 def _decode_map(buf: bytes, pos: int, n: int):
     out = {}
+    blen = len(buf)
     for _ in range(n):
-        k, pos = _decode_one(buf, pos)
-        v, pos = _decode_one(buf, pos)
-        if k.__class__ is not str:
-            if isinstance(k, bytes):  # RawToString analogue for bin keys
-                k = k.decode("utf-8", errors="replace")
-            else:
-                k = str(k)
+        b = buf[pos]
+        if 0xA0 <= b <= 0xBF:  # fixstr key — the overwhelmingly hot case
+            end = pos + 1 + (b & 0x1F)
+            if end > blen:
+                raise MsgpackError("truncated payload")
+            k = buf[pos + 1 : end].decode("utf-8", "replace")
+            pos = end
+        else:
+            k, pos = _decode_one(buf, pos)
+            if k.__class__ is not str:
+                if isinstance(k, bytes):  # RawToString analogue, bin keys
+                    k = k.decode("utf-8", errors="replace")
+                else:
+                    k = str(k)
+        b = buf[pos]
+        if 0xA0 <= b <= 0xBF:  # fixstr value
+            end = pos + 1 + (b & 0x1F)
+            if end > blen:
+                raise MsgpackError("truncated payload")
+            v = buf[pos + 1 : end].decode("utf-8", "replace")
+            pos = end
+        elif b <= 0x7F:  # positive fixint value
+            v = b
+            pos += 1
+        else:
+            v, pos = _decode_one(buf, pos)
         out[k] = v
     return out, pos
 

@@ -1,6 +1,8 @@
 """As-of join operator (operators/asof.py) vs a brute-force oracle."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from fluent_bit_clp_spark.operators.asof import asof_join
@@ -285,3 +287,56 @@ def test_asof_time_blocks_exact_beyond_double_precision(spark):
         left, right, on=["k"], direction="forward", time_blocks=4
     ).collect()[0]
     assert single.rid == blocked.rid == 20
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lrows=st.lists(
+        st.tuples(
+            st.sampled_from([None, "a", "b"]),
+            st.one_of(
+                st.integers(0, 50),
+                st.integers(1_700_000_000_000_000_000,
+                            1_700_000_000_000_000_050),
+            ),
+        ),
+        min_size=1, max_size=8,
+    ),
+    rrows=st.lists(
+        st.tuples(
+            st.sampled_from([None, "a", "b"]),
+            st.one_of(
+                st.integers(0, 50),
+                st.integers(1_700_000_000_000_000_000,
+                            1_700_000_000_000_000_050),
+            ),
+        ),
+        min_size=0, max_size=8,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    blocks=st.sampled_from([2, 5]),
+)
+def test_asof_blocked_equals_single_property(spark, lrows, rrows, direction,
+                                             blocks):
+    """Property sweep of the review-found failure space: null keys, tied
+    and >2^53 timestamps, empty rights, both directions — blocked must
+    equal the single window row-for-row."""
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        "k string, ts bigint, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rrows)],
+        "k string, ts bigint, rid int",
+    ) if rrows else spark.createDataFrame([], "k string, ts bigint, rid int")
+    from collections import Counter
+
+    single = Counter(
+        map(tuple, asof_join(left, right, on=["k"],
+                             direction=direction).collect())
+    )
+    blocked = Counter(
+        map(tuple, asof_join(left, right, on=["k"], direction=direction,
+                             time_blocks=blocks).collect())
+    )
+    assert blocked == single
