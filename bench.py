@@ -70,6 +70,32 @@ def msgpack_mb_per_s_core(n_records: int = 20_000, reps: int = 4) -> float:
     return round(len(blob) / 1048576 / best, 1)
 
 
+def encode_rows_per_s_core(n_rows: int = 20_000, reps: int = 4) -> float:
+    """Single-core CLP-encode ceiling: rows/s through the production
+    ``_encode_batch`` (tokenize + classify + pack + memoized xxh64 ids)
+    on representative log lines.  Pure Python, no Spark — multiply by
+    executor cores for the cluster encode ceiling; the memoized-id path
+    (round 5) roughly doubles this on template-heavy corpora."""
+    import time as _t
+
+    import pandas as pd
+
+    from fluent_bit_clp_spark.functions.clp_pandas import _encode_batch
+
+    texts = pd.Series([
+        f"level=info user u{i % 97} fetched /api/v1/items/{i} "
+        f"in {i % 345}.{i % 10} ms"
+        for i in range(n_rows)
+    ])
+    _encode_batch(texts)  # warm the JIT-free path + id cache
+    best = float("inf")
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        _encode_batch(texts)
+        best = min(best, _t.perf_counter() - t0)
+    return round(n_rows / best, 1)
+
+
 NOISY_SPREAD = 3.0  # max/min sample ratio above which a timing is suspect
 
 
@@ -410,6 +436,7 @@ def run_once(cpus: int, sf_dir: str, input_path: str | None = None) -> dict:
             "turns_per_sec_compute": round(n_rows / noop_sec, 1),
             "sink_write_sec": round(max(headline_sec - noop_sec, 0.0), 3),
             "msgpack_mb_per_s_core": msgpack_mb_per_s_core(),
+            "encode_rows_per_s_core": encode_rows_per_s_core(),
             "ops": ops,
             "cpus": cpus,
             # noise observability (VERDICT r3 #3): spread = max/min over
