@@ -70,30 +70,46 @@ def msgpack_mb_per_s_core(n_records: int = 20_000, reps: int = 4) -> float:
     return round(len(blob) / 1048576 / best, 1)
 
 
-def encode_rows_per_s_core(n_rows: int = 20_000, reps: int = 4) -> float:
+def encode_rows_per_s_core(n_rows: int = 20_000, reps: int = 4) -> dict:
     """Single-core CLP-encode ceiling: rows/s through the production
     ``_encode_batch`` (tokenize + classify + pack + memoized xxh64 ids)
     on representative log lines.  Pure Python, no Spark — multiply by
-    executor cores for the cluster encode ceiling; the memoized-id path
-    (round 5) roughly doubles this on template-heavy corpora."""
+    executor cores for the cluster encode ceiling.
+
+    Reports BOTH cache regimes (review fix r5: warming with the timed
+    corpus measured the never-miss path): ``cold`` clears the id cache
+    before every rep — a fresh batch of never-seen ids, the lower
+    bound; ``warm`` keeps the cache — repeating templates/vars, the
+    upper bound.  Real corpora sit between (unique ids always miss,
+    templates always hit)."""
     import time as _t
 
     import pandas as pd
 
-    from fluent_bit_clp_spark.functions.clp_pandas import _encode_batch
+    from fluent_bit_clp_spark.functions.clp_pandas import (
+        _encode_batch,
+        _xxh64_cached,
+    )
 
     texts = pd.Series([
         f"level=info user u{i % 97} fetched /api/v1/items/{i} "
         f"in {i % 345}.{i % 10} ms"
         for i in range(n_rows)
     ])
-    _encode_batch(texts)  # warm the JIT-free path + id cache
-    best = float("inf")
+    _encode_batch(texts)  # warmup (excluded)
+    cold = warm = float("inf")
     for _ in range(reps):
+        _xxh64_cached.cache_clear()
         t0 = _t.perf_counter()
         _encode_batch(texts)
-        best = min(best, _t.perf_counter() - t0)
-    return round(n_rows / best, 1)
+        cold = min(cold, _t.perf_counter() - t0)
+        t0 = _t.perf_counter()
+        _encode_batch(texts)
+        warm = min(warm, _t.perf_counter() - t0)
+    return {
+        "cold": round(n_rows / cold, 1),
+        "warm": round(n_rows / warm, 1),
+    }
 
 
 NOISY_SPREAD = 3.0  # max/min sample ratio above which a timing is suspect

@@ -7,8 +7,9 @@ semantically identical native-expression implementation in
 Catalyst evaluates higher-order-function lambdas interpreted — outside
 whole-stage codegen — while this path is one Arrow batch transfer plus a
 CPython `re` scan per batch (plus a memoized xxh64: id inputs repeat
-heavily — ~94% hit rate on the generated corpus, measured 1.9× the
-un-memoized single-core encode).  ``clp_native`` remains the oracle-checkable
+heavily — ~88% cold-pass hit rate on the generated corpus, ~1.9× the
+un-memoized single-core encode there; corpora dominated by per-row-unique
+variables see proportionally less).  ``clp_native`` remains the oracle-checkable
 reference implementation (DuckDB can replay it), and the two are asserted
 field-for-field equal in tests.
 
@@ -128,7 +129,7 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-@_functools.lru_cache(maxsize=65536)
+@_functools.lru_cache(maxsize=16384)
 def _xxh64_cached(s: str) -> int:
     return xxh64(s.encode("utf-8"))
 
@@ -137,10 +138,16 @@ def _xxh64_str(s: str) -> int:
     # pure-Python xxh64 is the encoder's single biggest cost, and its
     # inputs repeat heavily (a handful of logtype templates hashed once
     # per ROW; low-cardinality dict vars): memoizing short strings
-    # removes most of it.  Hash-unique long values (multi-MiB turns)
-    # skip the cache so it can't hold giant keys.  Per-process cache of
-    # a pure function — ids stay deterministic across partitions/resume.
-    if len(s) <= 4096:
+    # removes most of it (~88% cold-pass hit rate on the generated
+    # corpus).  The threshold counts CHARACTERS, so the per-worker
+    # worst case is 16384 × ≤1024 chars ≤ 4 KiB utf-8 ≈ 64 MiB of
+    # pinned keys on a pathological all-unique near-threshold corpus —
+    # bounded even × one Python worker per core (review fix r5: the
+    # first cut allowed ~1 GiB/worker).  Typical templates/vars are
+    # far under the threshold; longer values hash uncached.  Pure
+    # function, per-process cache — ids stay deterministic across
+    # partitions/resume.
+    if len(s) <= 1024:
         return _xxh64_cached(s)
     return xxh64(s.encode("utf-8"))
 
