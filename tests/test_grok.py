@@ -3,6 +3,8 @@
 import re
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from fluent_bit_clp_spark.operators.grok import (
@@ -303,3 +305,27 @@ def test_grok_temp_columns_guarded(spark):
     df = spark.createDataFrame([("a 1", "x")], "text string, _grok_parts string")
     with pytest.raises(ValueError, match="_grok_parts"):
         grok_parse(df, "text", "a %{INT:n}")
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0, max_codepoint=0x7E),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_single_pass_equals_multipass_property(spark, texts):
+    """Property sweep of the single-pass/multi-pass equivalence over
+    arbitrary ASCII+control text (newlines, separator bytes, partial
+    separators — the space both review-found divergences lived in)."""
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    pat = "job %{NOTSPACE:jid} said %{DATA:msg} end %{NOTSPACE:tag}"
+    fast = [tuple(r) for r in grok_parse(df, "text", pat, single_pass=True)
+            .orderBy(F.col("text").asc_nulls_first()).collect()]
+    slow = [tuple(r) for r in grok_parse(df, "text", pat, single_pass=False)
+            .orderBy(F.col("text").asc_nulls_first()).collect()]
+    assert fast == slow
