@@ -277,16 +277,32 @@ def _ops_bench(spark, df, enc_path: str, tmp: str) -> dict:
         lambda: from_archive(spark.read.parquet(arch_p))
         .write.mode("overwrite").format("noop").save()
     )
-    raw_b, work_b, arch_b = map(_dir_bytes, (raw_p, work_p, arch_p))
+    # clustered: the offline template-clustering compaction pass
+    # (compact_archive — CLP's archive-grouping trick); one shuffle,
+    # so timed once rather than min-of-3
+    from fluent_bit_clp_spark.operators.archive import compact_archive
+
+    clus_p = os.path.join(tmp, "bench_store_arch_clustered")
+    t0 = time.monotonic()
+    compact_archive(to_archive(enc.select(*layout))).write.mode(
+        "overwrite"
+    ).option("compression", "zstd").parquet(clus_p)
+    clus_sec = round(time.monotonic() - t0, 3)
+    raw_b, work_b, arch_b, clus_b = map(
+        _dir_bytes, (raw_p, work_p, arch_p, clus_p)
+    )
     out["archive"] = {
         "rows": n_rows,
         "raw_text_zstd_bytes": raw_b,
         "working_layout_zstd_bytes": work_b,
         "archive_layout_zstd_bytes": arch_b,
+        "clustered_archive_zstd_bytes": clus_b,
         "archive_vs_working": round(arch_b / max(work_b, 1), 4),
         "archive_vs_raw_text": round(arch_b / max(raw_b, 1), 4),
+        "clustered_vs_raw_text": round(clus_b / max(raw_b, 1), 4),
         "to_archive_write_sec": to_sec,
         "from_archive_scan_sec": from_sec,
+        "compact_archive_write_sec": clus_sec,
     }
     return out
 

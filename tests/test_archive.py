@@ -144,3 +144,69 @@ def test_archive_plan_stays_native(spark):
         .toString()
     )
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_compact_archive_clusters_and_preserves_rows(spark, tmp_path):
+    """compact_archive (template clustering): same multiset of rows,
+    smaller parquet+zstd footprint, and tight per-row-group logtype
+    bounds (the footer-stat pruning a dictionary search rides)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fluent_bit_clp_spark.datagen import transcripts
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+    from fluent_bit_clp_spark.operators.archive import compact_archive
+
+    enc = clp_encode_pandas(
+        transcripts(spark, 20_000, with_edge_rows=False).select(
+            "conv_id", "turn_idx", "text"
+        )
+    )
+    arch = to_archive(enc).select(
+        "conv_id", "turn_idx", "logtype", "encoded_vars", "dict_vars"
+    )
+    plain_p = str(tmp_path / "plain")
+    clus_p = str(tmp_path / "clustered")
+    arch.write.option("compression", "zstd").parquet(plain_p)
+    compact_archive(arch, num_partitions=4).write.option(
+        "compression", "zstd"
+    ).parquet(clus_p)
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    assert dir_bytes(clus_p) < 0.9 * dir_bytes(plain_p)
+
+    # row preservation (multiset, order is storage-internal)
+    a = spark.read.parquet(plain_p).groupBy("conv_id", "turn_idx").count()
+    b = spark.read.parquet(clus_p).groupBy("conv_id", "turn_idx").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # footer-stat tightness: clustering gives row groups narrow,
+    # near-disjoint logtype [min, max] ranges (range partition + sort),
+    # so an equality predicate on one template can skip most groups on
+    # stats alone.  Sorted by min, consecutive ranges may touch at the
+    # boundary template but must not properly interleave.
+    ranges = []
+    for root, _, fs in os.walk(clus_p):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = md.schema.names.index("logtype")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                assert st is not None
+                ranges.append((st.min, st.max))
+    ranges.sort()
+    assert len(ranges) >= 2
+    overlaps = sum(
+        1 for i in range(1, len(ranges)) if ranges[i][0] < ranges[i - 1][1]
+    )
+    assert overlaps <= len(ranges) // 2
