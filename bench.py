@@ -304,6 +304,23 @@ def _ops_bench(spark, df, enc_path: str, tmp: str) -> dict:
         "from_archive_scan_sec": from_sec,
         "compact_archive_write_sec": clus_sec,
     }
+    # search over the clustered STORED archive: matching templates'
+    # stored strings pushed into the parquet scan (EqualTo/In on the
+    # logtype column → footer-stat row-group skipping on the clustered
+    # table).  Dictionary prebuilt outside the timed region, same
+    # convention as the working-layout search legs above.
+    from fluent_bit_clp_spark.operators.search import (
+        archive_logtype_dictionary,
+        search_stored_archive,
+    )
+
+    arch_df = spark.read.parquet(clus_p)
+    adict_p = os.path.join(tmp, "bench_arch_dict")
+    archive_logtype_dictionary(arch_df).write.mode("overwrite").parquet(adict_p)
+    adict = spark.read.parquet(adict_p)
+    out["search"]["clustered_archive_search_sec"] = _min_time(
+        lambda: search_stored_archive(arch_df, SEARCH_QUERY, adict).count()
+    )
     return out
 
 

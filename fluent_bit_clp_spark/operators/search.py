@@ -256,3 +256,74 @@ def search_encoded(
         F.col("_decoded").rlike(exact_text_pattern(query))
     )
     return verified.drop("_decoded")
+
+
+def archive_logtype_dictionary(archive: DataFrame) -> DataFrame:
+    """Dictionary over an ARCHIVE-layout table (operators/archive.py):
+    ``(logtype_stored, logtype, logtype_id)`` — the stored kind-typed
+    template alongside its working-layout form and id.  One column-pruned
+    distinct pass over the archive; the untyped form and id come from the
+    same template expressions ``from_archive`` uses (kinds live only in
+    the stored template, so this dict is not derivable from the working
+    logtype_dict)."""
+    from fluent_bit_clp_spark.functions.clp_native import PLACEHOLDER
+    from fluent_bit_clp_spark.operators.archive import (
+        PH_DICT,
+        PH_FLOAT,
+        _unescape_archive,
+    )
+
+    stored = archive.select(F.col("logtype").alias("logtype_stored")).distinct()
+    untyped = _unescape_archive(
+        f"translate(logtype_stored, '{PH_DICT}{PH_FLOAT}', "
+        f"'{PLACEHOLDER}{PLACEHOLDER}')"
+    )
+    return stored.withColumn("logtype", F.expr(untyped)).withColumn(
+        "logtype_id",
+        F.expr(
+            "case when logtype is null then cast(null as bigint) "
+            "else xxhash64(logtype) end"
+        ),
+    )
+
+
+def search_stored_archive(
+    archive: DataFrame,
+    query: str,
+    archive_dictionary: DataFrame,
+    mode: str = MODE_I64,
+    var_dictionary: DataFrame | None = None,
+    max_templates: int = 1024,
+) -> DataFrame:
+    """Search an ARCHIVE-layout table with SCAN-level template pruning.
+
+    The working-layout path prunes with a ``logtype_id`` semi-join —
+    correct, but the filter only applies after every row is read.  Here
+    the matching templates' STORED strings (kind-typed) become an
+    ``isin`` predicate on the stored ``logtype`` column, which Spark
+    pushes into the parquet scan (``PushedFilters: In(logtype, ...)``):
+    on a ``compact_archive``-clustered table, row groups whose footer
+    min/max excludes every wanted template are skipped without reading
+    a byte of them — the CLP archive-search shape.
+
+    ``max_templates`` caps the driver-collected IN-list (same bound
+    discipline as the capped id collect); above it the pushdown is
+    skipped and the filter runs post-scan — identical results either
+    way.  Remaining stages (variable predicates, fragment predicates,
+    decode-verify) are exactly :func:`search_encoded` over the
+    reconstructed rows."""
+    from fluent_bit_clp_spark.operators.archive import from_archive
+
+    pattern = compile_relaxed_pattern(query)
+    matches = archive_dictionary.where(F.col("logtype").rlike(pattern))
+    stored = [
+        r[0]
+        for r in matches.select("logtype_stored").limit(max_templates + 1).collect()
+    ]
+    if 0 < len(stored) <= max_templates:
+        pruned = archive.where(F.col("logtype").isin(stored))
+    else:
+        pruned = archive  # over-cap or no dict match: post-scan filtering
+    return search_encoded(
+        from_archive(pruned), query, None, mode, var_dictionary
+    )

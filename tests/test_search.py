@@ -283,3 +283,58 @@ def test_search_over_archive_reconstruction(spark, encoded):
         .select("conv_id", "turn_idx").collect()
     }
     assert via_archive == direct and direct
+
+
+def test_search_stored_archive_pushes_template_filter(spark, tmp_path, encoded):
+    """Stored-archive search (scan-level template pruning): identical
+    hits to the working-layout search, with the matching templates'
+    stored strings pushed into the parquet scan (EqualTo/In on logtype
+    in PushedFilters) — on a compact_archive-clustered table that skips
+    whole row groups by footer stats."""
+    from fluent_bit_clp_spark.operators.archive import (
+        compact_archive,
+        to_archive,
+    )
+    from fluent_bit_clp_spark.operators.search import (
+        archive_logtype_dictionary,
+        search_stored_archive,
+    )
+
+    p = str(tmp_path / "arch")
+    compact_archive(to_archive(encoded), num_partitions=4).write.option(
+        "compression", "zstd"
+    ).parquet(p)
+    arch = spark.read.parquet(p)
+    adict = archive_logtype_dictionary(arch)
+
+    # dictionary ids must agree with the working-layout dictionary
+    work = {
+        (r.logtype_id, r.logtype)
+        for r in logtype_dictionary(encoded).collect()
+    }
+    ours = {(r.logtype_id, r.logtype) for r in adict
+            .select("logtype_id", "logtype").collect()}
+    assert ours == work
+
+    query = "Retrying container-* after *s: connection reset by peer"
+    want = {
+        (r.conv_id, r.turn_idx)
+        for r in search_encoded(encoded, query)
+        .select("conv_id", "turn_idx").collect()
+    }
+    assert want
+    hits = search_stored_archive(arch, query, adict)
+    got = {(r.conv_id, r.turn_idx)
+           for r in hits.select("conv_id", "turn_idx").collect()}
+    assert got == want
+
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[[^\]]*(EqualTo|In)\(logtype,", plan)
+    assert m, plan[:1500]
+
+    # over-cap fallback: pushdown skipped, results identical
+    fb = search_stored_archive(arch, query, adict, max_templates=0)
+    got_fb = {(r.conv_id, r.turn_idx)
+              for r in fb.select("conv_id", "turn_idx").collect()}
+    assert got_fb == want
+    assert "EqualTo(logtype," not in fb._jdf.queryExecution().executedPlan().toString()
