@@ -314,6 +314,12 @@ def search_stored_archive(
     reconstructed rows."""
     from fluent_bit_clp_spark.operators.archive import from_archive
 
+    if "var_kinds" in archive.columns:
+        raise ValueError(
+            "search_stored_archive expects the ARCHIVE layout (kind-typed "
+            "logtype, no var_kinds column); got a working-layout frame — "
+            "use search_encoded on it directly"
+        )
     pattern = compile_relaxed_pattern(query)
     matches = archive_dictionary.where(F.col("logtype").rlike(pattern))
     stored = [

@@ -220,6 +220,38 @@ prunes the reconstruction of columns the query never touches).
     out.append("""
 ```
 
+## Stored-archive search, pushed template predicate (round-5 shape)
+
+What to look for: the matching templates' STORED strings appear as a
+pushed filter on the parquet scan — `PushedFilters: [..., EqualTo/In
+(logtype, ...)]` — so on a compact_archive-clustered table, row groups
+are skipped on footer stats before any column bytes are read; the
+decode-verify work happens only above the pruned scan.
+
+```
+""")
+    from fluent_bit_clp_spark.operators.archive import compact_archive
+    from fluent_bit_clp_spark.operators.search import (
+        archive_logtype_dictionary,
+        search_stored_archive,
+    )
+
+    sarch_path = os.path.join(tmp, "search_arch")
+    compact_archive(to_archive(clp_encode(df.select("text"))),
+                    num_partitions=4).write.parquet(sarch_path)
+    sarch = spark.read.parquet(sarch_path)
+    out.append(
+        formatted(
+            search_stored_archive(
+                sarch,
+                "Retrying container-* after *s: connection reset by peer",
+                archive_logtype_dictionary(sarch),
+            )
+        ).strip()
+    )
+    out.append("""
+```
+
 ## Scale notes
 
 - The offsets job re-reads only `octet_length(text)` + 4 narrow columns;
