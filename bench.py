@@ -72,16 +72,20 @@ def msgpack_mb_per_s_core(n_records: int = 20_000, reps: int = 4) -> float:
 
 def encode_rows_per_s_core(n_rows: int = 20_000, reps: int = 4) -> dict:
     """Single-core CLP-encode ceiling: rows/s through the production
-    ``_encode_batch`` (tokenize + classify + pack + memoized xxh64 ids)
-    on representative log lines.  Pure Python, no Spark — multiply by
-    executor cores for the cluster encode ceiling.
+    ``_encode_batch`` (tokenize + classify + pack + memoized xxh64 ids).
+    Pure Python, no Spark — multiply by executor cores for the cluster
+    encode ceiling.
 
-    Reports BOTH cache regimes (review fix r5: warming with the timed
-    corpus measured the never-miss path): ``cold`` clears the id cache
-    before every rep — a fresh batch of never-seen ids, the lower
-    bound; ``warm`` keeps the cache — repeating templates/vars, the
-    upper bound.  Real corpora sit between (unique ids always miss,
-    templates always hit)."""
+    Two CORPORA bracket the memoization benefit (review fix r5: a
+    single corpus with per-row-unique tokens floods the LRU, so its
+    "warm" pass measured the same ~2/3 hot-hit mix as cold — two nearly
+    identical numbers claiming to be a band):
+
+    - ``unique``: every line carries a per-row-unique dictionary token
+      and the id cache is cleared each rep — the no-cache-benefit lower
+      bound (≈ the un-memoized encoder);
+    - ``template``: the variable set is bounded well under the cache
+      size — the never-miss upper bound.  Real corpora sit between."""
     import time as _t
 
     import pandas as pd
@@ -91,24 +95,30 @@ def encode_rows_per_s_core(n_rows: int = 20_000, reps: int = 4) -> dict:
         _xxh64_cached,
     )
 
-    texts = pd.Series([
+    unique = pd.Series([
         f"level=info user u{i % 97} fetched /api/v1/items/{i} "
         f"in {i % 345}.{i % 10} ms"
         for i in range(n_rows)
     ])
-    _encode_batch(texts)  # warmup (excluded)
-    cold = warm = float("inf")
+    template = pd.Series([
+        f"level=info user u{i % 97} fetched /api/v1/items/{i % 503} "
+        f"in {i % 345}.{i % 10} ms"
+        for i in range(n_rows)
+    ])
+    _encode_batch(unique)  # warmup (excluded)
+    lo = hi = float("inf")
     for _ in range(reps):
         _xxh64_cached.cache_clear()
         t0 = _t.perf_counter()
-        _encode_batch(texts)
-        cold = min(cold, _t.perf_counter() - t0)
+        _encode_batch(unique)
+        lo = min(lo, _t.perf_counter() - t0)
+        _encode_batch(template)  # fill the bounded var set (cheap)
         t0 = _t.perf_counter()
-        _encode_batch(texts)
-        warm = min(warm, _t.perf_counter() - t0)
+        _encode_batch(template)
+        hi = min(hi, _t.perf_counter() - t0)
     return {
-        "cold": round(n_rows / cold, 1),
-        "warm": round(n_rows / warm, 1),
+        "unique": round(n_rows / lo, 1),
+        "template": round(n_rows / hi, 1),
     }
 
 

@@ -115,10 +115,14 @@ def compact_archive(
     internal, and consumers already order by explicit (conv_id,
     turn_idx) keys, never file position.
     """
+    # spread key: hash of conv_id when present, else a hash over ALL
+    # columns — xxhash64("logtype") alone was functionally dependent on
+    # the range key, so a hot template still serialized (review fix r5).
+    # Residual caveat: fully identical rows still co-locate.
     spread = (
         F.xxhash64("conv_id")
         if "conv_id" in archive.columns
-        else F.xxhash64("logtype")
+        else F.xxhash64(*archive.columns)
     )
     parted = (
         archive.repartitionByRange(num_partitions, F.col("logtype"), spread)
@@ -126,6 +130,30 @@ def compact_archive(
         else archive.repartitionByRange(F.col("logtype"), spread)
     )
     return parted.sortWithinPartitions("logtype")
+
+
+def untyped_logtype_expr(col: str = "logtype") -> str:
+    """SQL expr: stored (kind-typed) template → working-layout template.
+
+    Every bare 0x12/0x13 is a placeholder (literals are 0x10-pairs), so
+    a byte-level translate collapses the typed template back to 0x11s,
+    then the archive escape pairs unwind.  Shared by :func:`from_archive`
+    and ``search.archive_logtype_dictionary`` so the two reconstructions
+    can never diverge (review fix r5)."""
+    return _unescape_archive(
+        f"translate({col}, '{PH_DICT}{PH_FLOAT}', "
+        f"'{PLACEHOLDER}{PLACEHOLDER}')"
+    )
+
+
+def logtype_id_expr(col: str = "logtype") -> str:
+    """SQL expr: null-preserving xxhash64 template id (xxhash64(NULL) is
+    Spark's non-null seed hash; the encode layout keeps null ids for
+    null text).  Shared for the same never-diverge reason."""
+    return (
+        f"case when {col} is null then cast(null as bigint) "
+        f"else xxhash64({col}) end"
+    )
 
 
 def to_archive(encoded: DataFrame) -> DataFrame:
@@ -172,12 +200,7 @@ def from_archive(archive: DataFrame) -> DataFrame:
         f"c -> case c when '{PH_INT}' then {KIND_INT} "
         f"when '{PH_FLOAT}' then {KIND_FLOAT} else {KIND_DICT} end)"
     )
-    # Every bare 0x12/0x13 is a placeholder (literals are 0x10-pairs), so
-    # a byte-level translate collapses the typed template back to 0x11s.
-    untyped = _unescape_archive(
-        f"translate(logtype, '{PH_DICT}{PH_FLOAT}', "
-        f"'{PLACEHOLDER}{PLACEHOLDER}')"
-    )
+    untyped = untyped_logtype_expr("logtype")
     # Re-align in O(v log v): each compact value is tagged with its
     # original variable index (recovered from the kind sequence), the two
     # tagged arrays are concatenated and array_sort'ed by index (distinct
@@ -215,13 +238,5 @@ def from_archive(archive: DataFrame) -> DataFrame:
                 "case when v is not null then xxhash64(v) end)"
             ),
         )
-        .withColumn(
-            "logtype_id",
-            # xxhash64(NULL) is the non-null seed hash in Spark SQL; the
-            # encode layout keeps logtype_id null for null text
-            F.expr(
-                "case when logtype is null then cast(null as bigint) "
-                "else xxhash64(logtype) end"
-            ),
-        )
+        .withColumn("logtype_id", F.expr(logtype_id_expr("logtype")))
     )

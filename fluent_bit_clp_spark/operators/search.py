@@ -266,25 +266,15 @@ def archive_logtype_dictionary(archive: DataFrame) -> DataFrame:
     same template expressions ``from_archive`` uses (kinds live only in
     the stored template, so this dict is not derivable from the working
     logtype_dict)."""
-    from fluent_bit_clp_spark.functions.clp_native import PLACEHOLDER
     from fluent_bit_clp_spark.operators.archive import (
-        PH_DICT,
-        PH_FLOAT,
-        _unescape_archive,
+        logtype_id_expr,
+        untyped_logtype_expr,
     )
 
     stored = archive.select(F.col("logtype").alias("logtype_stored")).distinct()
-    untyped = _unescape_archive(
-        f"translate(logtype_stored, '{PH_DICT}{PH_FLOAT}', "
-        f"'{PLACEHOLDER}{PLACEHOLDER}')"
-    )
-    return stored.withColumn("logtype", F.expr(untyped)).withColumn(
-        "logtype_id",
-        F.expr(
-            "case when logtype is null then cast(null as bigint) "
-            "else xxhash64(logtype) end"
-        ),
-    )
+    return stored.withColumn(
+        "logtype", F.expr(untyped_logtype_expr("logtype_stored"))
+    ).withColumn("logtype_id", F.expr(logtype_id_expr("logtype")))
 
 
 def search_stored_archive(
@@ -306,10 +296,14 @@ def search_stored_archive(
     min/max excludes every wanted template are skipped without reading
     a byte of them — the CLP archive-search shape.
 
-    ``max_templates`` caps the driver-collected IN-list (same bound
-    discipline as the capped id collect); above it the pushdown is
-    skipped and the filter runs post-scan — identical results either
-    way.  Remaining stages (variable predicates, fragment predicates,
+    ``archive_dictionary`` must COVER the archive (built from it via
+    :func:`archive_logtype_dictionary`, or maintained alongside the
+    writes) — a stale dictionary missing templates would silently drop
+    their rows, so zero dictionary matches is treated as proof of zero
+    hits (no scan at all).  ``max_templates`` caps the driver-collected
+    IN-list (same bound discipline as the capped id collect); above it
+    the pushdown is skipped and the filter runs post-scan — identical
+    results either way.  Remaining stages (variable predicates, fragment predicates,
     decode-verify) are exactly :func:`search_encoded` over the
     reconstructed rows."""
     from fluent_bit_clp_spark.operators.archive import from_archive
@@ -326,10 +320,16 @@ def search_stored_archive(
         r[0]
         for r in matches.select("logtype_stored").limit(max_templates + 1).collect()
     ]
-    if 0 < len(stored) <= max_templates:
+    if not stored:
+        # the dictionary covers this archive (built from it, or
+        # maintained alongside the writes — the documented contract), so
+        # zero template matches PROVES zero hits: return the empty frame
+        # without scanning (limit(0) folds to a LocalTableScan)
+        pruned = archive.limit(0)
+    elif len(stored) <= max_templates:
         pruned = archive.where(F.col("logtype").isin(stored))
     else:
-        pruned = archive  # over-cap or no dict match: post-scan filtering
+        pruned = archive  # over-cap: post-scan filtering, same results
     return search_encoded(
         from_archive(pruned), query, None, mode, var_dictionary
     )

@@ -52,19 +52,38 @@ def main() -> None:
         .partitionBy("sink")
         .parquet(os.path.join(args.output, "sinks"))
     )
-    # carry the lineage sidecar so load_sinks/resume see the same run
-    # metadata at the new root (local-FS copy; on object stores use the
-    # store's copy primitive for the marker directory)
-    src_lin = os.path.join(args.input, "_lineage")
-    if os.path.isdir(src_lin):
-        shutil.copytree(
-            src_lin, os.path.join(args.output, "_lineage"), dirs_exist_ok=True
-        )
+    # verify FIRST, then commit the lineage sidecar: the copied data
+    # marker is what makes the new root look committed to load_sinks, so
+    # it must be the LAST artifact to appear (same tmp-last ordering as
+    # plans/lineage.py's own commit protocol; review fix r5 — copying
+    # before the check left a committed-looking root on a failed verify)
     out_rows = spark.read.parquet(os.path.join(args.output, "sinks")).count()
     if out_rows != rows:
         raise RuntimeError(
             f"row count changed during compaction: {rows} -> {out_rows}"
         )
+    src_lin = os.path.join(args.input, "_lineage")
+    if os.path.isdir(src_lin):
+        # per-sink manifests carry absolute 'path' fields under the OLD
+        # root — rewrite them to the new root during the copy (review
+        # fix r5: a verbatim copy pointed consumers at the source run)
+        for root, _, files in os.walk(src_lin):
+            rel = os.path.relpath(root, src_lin)
+            dst_dir = os.path.join(args.output, "_lineage", rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in files:
+                src_f = os.path.join(root, f)
+                if f.endswith(".json"):
+                    with open(src_f) as fh:
+                        payload = json.load(fh)
+                    if isinstance(payload.get("path"), str):
+                        payload["path"] = payload["path"].replace(
+                            args.input.rstrip("/"), args.output.rstrip("/"), 1
+                        )
+                    with open(os.path.join(dst_dir, f), "w") as fh:
+                        json.dump(payload, fh)
+                else:
+                    shutil.copy2(src_f, os.path.join(dst_dir, f))
     print(json.dumps({"rows": rows, "run_id": args.run_id, "compacted": True}))
     spark.stop()
 

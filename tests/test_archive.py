@@ -206,7 +206,12 @@ def test_compact_archive_clusters_and_preserves_rows(spark, tmp_path):
                 ranges.append((st.min, st.max))
     ranges.sort()
     assert len(ranges) >= 2
-    overlaps = sum(
-        1 for i in range(1, len(ranges)) if ranges[i][0] < ranges[i - 1][1]
-    )
+    # running-max interleave count (review fix r5: comparing only to the
+    # immediate predecessor missed a range nested inside an earlier
+    # wide one)
+    overlaps, hi = 0, ranges[0][1]
+    for lo, up in ranges[1:]:
+        if lo < hi:
+            overlaps += 1
+        hi = max(hi, up)
     assert overlaps <= len(ranges) // 2
