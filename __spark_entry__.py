@@ -861,6 +861,35 @@ def _grok_apache_oracle_sql() -> str:
     )
 
 
+_ARCHIVE_SEARCH_QUERY = "Retrying container-* after *s: connection reset by peer"
+
+
+def q_e1_search_stored_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-archive search (operators/search.py search_stored_archive):
+    the same wildcard query compiled to a stored-template isin prune +
+    decode-verify, over to_archive(encode(transcripts)); the oracle runs
+    the equivalent anchored regex over the committed transcripts2000
+    fixture's raw text — end-to-end proof the ARCHIVE layout stays
+    queryable without loss."""
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+    from fluent_bit_clp_spark.operators.archive import to_archive
+    from fluent_bit_clp_spark.operators.search import (
+        archive_logtype_dictionary,
+        search_stored_archive,
+    )
+
+    # production Arrow encode: the native interpreted-HOF twin costs
+    # minutes on the fixture's 240k-variable edge turn
+    enc = clp_encode_pandas(
+        transcripts(spark, 2000).select("conv_id", "turn_idx", "text")
+    )
+    arch = to_archive(enc)
+    hits = search_stored_archive(
+        arch, _ARCHIVE_SEARCH_QUERY, archive_logtype_dictionary(arch)
+    )
+    return hits.select("conv_id", "turn_idx")
+
+
 def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink routed-row counts over the transcript pipeline (north_rule
     correctness aggregate).  Oracle-backed since round 4: DuckDB recomputes
@@ -1837,14 +1866,27 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf_dir: _archive_roundtrip_violations(spark)
         ),
         "p_grok_apache": q_p_grok_apache,
+        "e1_search_stored_archive": q_e1_search_stored_archive,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for extra_queries() (the three round-trip gates are
     rows-only 0-row contracts, checked in pytest instead)."""
+    from fluent_bit_clp_spark.operators.search import exact_text_pattern
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "transcripts2000"
+    )
+    archive_search_rx = exact_text_pattern(_ARCHIVE_SEARCH_QUERY).replace("'", "''")
     return {
         "p_grok_apache": _grok_apache_oracle_sql(),
+        "e1_search_stored_archive": (
+            f"select conv_id, turn_idx from "
+            f"read_parquet('{fixture}/*.parquet') "
+            f"where text is not null and "
+            f"regexp_matches(text, '{archive_search_rx}')"
+        ),
         "e1_logtype_dense": (
             f"with d as (select distinct regexp_replace({_LINE_SQL}, '{VAR_TOKEN_RE}', "
             "chr(17), 'g') as logtype from events) "

@@ -129,6 +129,13 @@ GROK_PATTERNS: dict[str, str] = {
         "%{POSINT:response:int} (?:%{POSINT:bytes:long}|-)"
     ),
     "COMBINEDAPACHELOG": "%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    "SYSLOGHOST": "%{IPORHOST}",
+    # classic BSD syslog line; program/pid named at the composite level
+    # (our SYSLOGPROG stays unnamed — see its note)
+    "SYSLOGLINE": (
+        "%{SYSLOGTIMESTAMP:timestamp} %{SYSLOGHOST:logsource} "
+        "%{PROG:program}(?:\[%{POSINT:pid:int}\])?: %{GREEDYDATA:message}"
+    ),
 }
 
 # regex metacharacters in literal grok text get a backslash escape —
@@ -331,7 +338,9 @@ def grok_parse(
                 .when(m, F.regexp_extract(col, rx, idx))
             )
             if field in casts:
-                extracted = extracted.cast(casts[field])
+                # a non-participating optional group extracts as '' —
+                # null it before the cast (ANSI cast('' as int) throws)
+                extracted = F.nullif(extracted, F.lit("")).cast(casts[field])
             out = out.withColumn(prefix + field, extracted)
         if not keep_unmatched:
             out = out.where(m)
@@ -340,7 +349,9 @@ def grok_parse(
         for field, idx in fields.items():
             extracted = F.when(matched, F.regexp_extract(col, rx, idx))
             if field in casts:
-                extracted = extracted.cast(casts[field])
+                # a non-participating optional group extracts as '' —
+                # null it before the cast (ANSI cast('' as int) throws)
+                extracted = F.nullif(extracted, F.lit("")).cast(casts[field])
             out = out.withColumn(prefix + field, extracted)
     if not keep_unmatched:
         out = out.where(matched)

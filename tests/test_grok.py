@@ -329,3 +329,19 @@ def test_single_pass_equals_multipass_property(spark, texts):
     slow = [tuple(r) for r in grok_parse(df, "text", pat, single_pass=False)
             .orderBy(F.col("text").asc_nulls_first()).collect()]
     assert fast == slow
+
+
+def test_syslogline_composite(spark):
+    df = spark.createDataFrame(
+        [("Oct  7 12:01:44 web-3.example.com crond[1234]: starting job 7",),
+         ("Oct 17 02:59:01 10.0.0.5 kernel: out of memory",)],
+        "text string",
+    )
+    out = {r.logsource: r for r in
+           grok_parse(df, "text", "%{SYSLOGLINE}").collect()}
+    a = out["web-3.example.com"]
+    assert a.program == "crond" and a.pid == 1234
+    assert a.message == "starting job 7"
+    b = out["10.0.0.5"]
+    assert b.program == "kernel" and b.pid is None
+    assert b.message == "out of memory"
