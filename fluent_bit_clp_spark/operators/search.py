@@ -74,7 +74,15 @@ def compile_relaxed_pattern(query: str) -> str:
 
 
 def exact_text_pattern(query: str) -> str:
-    return "^" + ".*".join(re.escape(p) for p in query.split("*")) + "$"
+    r"""Anchored verify regex for the decoded text.  The end anchor is
+    ``\z`` (end of input), not ``$``: Java's ``$`` also matches before a
+    final line terminator, so a text ending in ``\n`` that otherwise
+    matches would count as a Spark hit but not a DuckDB/RE2 oracle hit
+    (ADVICE r5).  ``\z`` is strict end-of-text in Java and RE2 alike
+    (matching RE2's non-multiline ``$``), so both engines agree.  The
+    relaxed LOGTYPE prune pattern keeps ``$`` — over-selection there is
+    harmless (decode-verify follows)."""
+    return "^" + ".*".join(re.escape(p) for p in query.split("*")) + "\\z"
 
 
 def compile_var_predicates(query: str, mode: str = MODE_I64) -> list:

@@ -338,3 +338,29 @@ def test_search_stored_archive_pushes_template_filter(spark, tmp_path, encoded):
               for r in fb.select("conv_id", "turn_idx").collect()}
     assert got_fb == want
     assert "EqualTo(logtype," not in fb._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exact_text_pattern_strict_end_anchor(spark):
+    r"""ADVICE r5: Java's ``$`` also matches before a final ``\n``, RE2's
+    does not — a trailing-newline text must NOT be a hit on either side.
+    exact_text_pattern anchors with ``\z`` so Spark (Java regex) agrees
+    with the DuckDB/RE2 oracle by construction."""
+    from fluent_bit_clp_spark.operators.search import exact_text_pattern
+
+    pat = exact_text_pattern("hello * end")
+    df = spark.createDataFrame(
+        [("exact", "hello big end"), ("trailing_nl", "hello big end\n")],
+        "name string, text string",
+    )
+    got = {r.name for r in df.where(F.col("text").rlike(pat)).collect()}
+    assert got == {"exact"}
+    # and DuckDB agrees on the same pattern (oracle side of the driver gate)
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "select 1 where regexp_matches('hello big end' || chr(10), "
+        f"'{pat.replace(chr(39), chr(39) * 2)}')"
+    ).fetchall()
+    con.close()
+    assert rows == []
