@@ -266,6 +266,39 @@ def search_encoded(
     return verified.drop("_decoded")
 
 
+class StaleArchiveDictionaryError(ValueError):
+    """The supplied archive dictionary does not cover the archive: at
+    least one stored template in the data has no dictionary row, so a
+    template-pruned search could silently drop its rows (VERDICT r5 #3).
+    Rebuild with :func:`archive_logtype_dictionary`, or extend the
+    persisted dictionary with :func:`extend_archive_dictionary` at write
+    time (plans/pipeline.py does this for ``--sink-layout archive``)."""
+
+
+def extend_archive_dictionary(
+    archive: DataFrame, existing: DataFrame | None = None
+) -> DataFrame:
+    """Write-time dictionary maintenance (VERDICT r5 #4): merge the
+    templates of a newly written archive into an existing persisted
+    dictionary — existing rows kept verbatim, unseen templates appended.
+    The same cross-run discipline as ``dictionary.extend_dense_ids``:
+    a search session then READS the persisted dictionary instead of
+    re-running a full distinct pass over the archive (at 100 TB the
+    distinct pass costs a scan; the dictionary is a few thousand rows).
+    A superset dictionary (templates from overwritten/older runs) is
+    harmless — extra ``isin`` templates over-select and decode-verify
+    removes them; only MISSING templates are dangerous, which is what
+    :class:`StaleArchiveDictionaryError` guards."""
+    new = archive_logtype_dictionary(archive)
+    if existing is None:
+        return new
+    return existing.unionByName(
+        new.join(
+            existing.select("logtype_stored"), "logtype_stored", "left_anti"
+        )
+    )
+
+
 def archive_logtype_dictionary(archive: DataFrame) -> DataFrame:
     """Dictionary over an ARCHIVE-layout table (operators/archive.py):
     ``(logtype_stored, logtype, logtype_id)`` — the stored kind-typed
@@ -279,7 +312,11 @@ def archive_logtype_dictionary(archive: DataFrame) -> DataFrame:
         untyped_logtype_expr,
     )
 
-    stored = archive.select(F.col("logtype").alias("logtype_stored")).distinct()
+    stored = (
+        archive.select(F.col("logtype").alias("logtype_stored"))
+        .where(F.col("logtype_stored").isNotNull())  # encode-failed rows:
+        .distinct()  # a null template is unsearchable (decode null never
+    )  # matches) and would poison the coverage check's null-unequal join
     return stored.withColumn(
         "logtype", F.expr(untyped_logtype_expr("logtype_stored"))
     ).withColumn("logtype_id", F.expr(logtype_id_expr("logtype")))
@@ -292,6 +329,7 @@ def search_stored_archive(
     mode: str = MODE_I64,
     var_dictionary: DataFrame | None = None,
     max_templates: int = 1024,
+    verify_coverage: bool = False,
 ) -> DataFrame:
     """Search an ARCHIVE-layout table with SCAN-level template pruning.
 
@@ -313,7 +351,16 @@ def search_stored_archive(
     the pushdown is skipped and the filter runs post-scan — identical
     results either way.  Remaining stages (variable predicates, fragment predicates,
     decode-verify) are exactly :func:`search_encoded` over the
-    reconstructed rows."""
+    reconstructed rows.
+
+    ``verify_coverage=True`` (opt-in — it costs one column-pruned
+    distinct pass over the archive) proves the covering contract instead
+    of assuming it: any stored template absent from
+    ``archive_dictionary`` raises :class:`StaleArchiveDictionaryError`
+    rather than letting a stale externally-maintained dictionary return
+    silently empty/partial results (VERDICT r5 #3).  Default off: a
+    dictionary built by :func:`archive_logtype_dictionary` or maintained
+    by :func:`extend_archive_dictionary` covers by construction."""
     from fluent_bit_clp_spark.operators.archive import from_archive
 
     if "var_kinds" in archive.columns:
@@ -322,6 +369,32 @@ def search_stored_archive(
             "logtype, no var_kinds column); got a working-layout frame — "
             "use search_encoded on it directly"
         )
+    if verify_coverage:
+        # null stored templates (encode-failed rows: null text/ts) are
+        # unsearchable by construction — decode-verify can never match
+        # them — so they are outside the covering contract, exactly as
+        # archive_logtype_dictionary excludes them
+        uncovered = (
+            archive.select("logtype")
+            .where(F.col("logtype").isNotNull())
+            .distinct()
+            .join(
+                archive_dictionary.select(
+                    F.col("logtype_stored").alias("logtype")
+                ),
+                "logtype",
+                "left_anti",
+            )
+            .count()
+        )
+        if uncovered:
+            raise StaleArchiveDictionaryError(
+                f"archive dictionary is stale: {uncovered} stored "
+                "template(s) in the archive have no dictionary row — a "
+                "template-pruned search would drop their rows; rebuild "
+                "with archive_logtype_dictionary(archive) or extend the "
+                "persisted dictionary at write time"
+            )
     pattern = compile_relaxed_pattern(query)
     matches = archive_dictionary.where(F.col("logtype").rlike(pattern))
     stored = [

@@ -329,6 +329,16 @@ def run_to_sinks(
     consume_tbl.select("logtype_id", "logtype").distinct().write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "logtype_dict"))
+    if sink_layout == "archive":
+        # VERDICT r5 #4: persist the stored-template dictionary BESIDE
+        # the sinks so a search session reads it instead of re-running a
+        # full distinct pass per session; an existing dictionary (older
+        # runs against this store) is extended, never truncated — the
+        # same cross-run discipline as dictionary.extend_dense_ids.  The
+        # read-modify-write is staged then swapped (Spark cannot lazily
+        # overwrite its own input); on Iceberg this is one overwrite
+        # snapshot commit.
+        _persist_archive_dictionary(spark, written_tbl, out_dir)
     (
         written_tbl.select(F.explode("dict_vars").alias("var"))
         .where(F.col("var").isNotNull())
@@ -360,6 +370,49 @@ def run_to_sinks(
         "resumed_skipped": sorted(done),
         "ingest": ingest,
     }
+
+
+ARCHIVE_DICT_DIR = "archive_logtype_dict"
+
+
+def _persist_archive_dictionary(
+    spark: SparkSession, written_tbl: DataFrame, out_dir: str
+) -> None:
+    from fluent_bit_clp_spark.operators.search import (
+        extend_archive_dictionary,
+    )
+
+    path = os.path.join(out_dir, ARCHIVE_DICT_DIR)
+    existing = spark.read.parquet(path) if os.path.isdir(path) else None
+    merged = extend_archive_dictionary(written_tbl, existing)
+    if existing is None:
+        merged.write.mode("overwrite").parquet(path)
+        return
+    import shutil
+
+    staging = path + "_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.replace(staging, path)
+
+
+def load_archive_dictionary(
+    spark: SparkSession, out_dir: str, run_id: str = "run-0"
+) -> DataFrame:
+    """The persisted stored-template dictionary of an archive-layout run
+    (``(logtype_stored, logtype, logtype_id)``) — what
+    ``search_stored_archive`` should be handed instead of recomputing
+    ``archive_logtype_dictionary`` per search session.  Raises if the run
+    was not archive-layout (no dictionary is maintained for the working
+    layout — its ``logtype_dict`` has no stored/kind-typed column)."""
+    marker = lineage.read_data_marker(out_dir, run_id)
+    if marker.get("sink_layout", "working") != "archive":
+        raise ValueError(
+            f"run '{run_id}' is sink_layout="
+            f"{marker.get('sink_layout', 'working')!r}; the stored-template "
+            "dictionary exists only for archive-layout runs"
+        )
+    return spark.read.parquet(os.path.join(out_dir, ARCHIVE_DICT_DIR))
 
 
 def load_sinks(

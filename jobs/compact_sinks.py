@@ -18,6 +18,65 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import shutil
+
+
+def copy_sidecars(input_root: str, output_root: str) -> None:
+    """Copy the run's non-data sidecars to the clustered root.
+
+    - ``archive_logtype_dict`` travels verbatim: clustering reorders rows
+      but never changes the template set, so search_stored_archive stays
+      readable against the new root without a rebuild pass
+      (plans/pipeline.py maintains it at write time).
+    - ``_lineage`` manifests carry ``path`` fields under the OLD root —
+      REBUILD them under the new root (review fix r5: a verbatim copy
+      pointed consumers at the source run).  Roots are compared
+      normalized+absolute (ADVICE r5: an unanchored str.replace silently
+      no-oped when --input was spelled differently — relative vs
+      absolute, trailing slash — from the root recorded at commit time),
+      and a recorded path outside the input root fails loudly instead of
+      being copied still pointing at the source run.
+
+    Pure filesystem work — factored out of main() so the rewrite rules
+    are unit-testable without a SparkSession.
+    """
+    src_dict = os.path.join(input_root, "archive_logtype_dict")
+    if os.path.isdir(src_dict):
+        shutil.copytree(
+            src_dict, os.path.join(output_root, "archive_logtype_dict")
+        )
+    src_lin = os.path.join(input_root, "_lineage")
+    if not os.path.isdir(src_lin):
+        return
+    norm_in = os.path.normpath(os.path.abspath(input_root))
+    for root, _, files in os.walk(src_lin):
+        rel = os.path.relpath(root, src_lin)
+        dst_dir = os.path.join(output_root, "_lineage", rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in files:
+            src_f = os.path.join(root, f)
+            if f.endswith(".json"):
+                with open(src_f) as fh:
+                    payload = json.load(fh)
+                if isinstance(payload.get("path"), str):
+                    rec = os.path.normpath(os.path.abspath(payload["path"]))
+                    if not (rec == norm_in
+                            or rec.startswith(norm_in + os.sep)):
+                        raise ValueError(
+                            f"manifest {src_f!r} records path "
+                            f"{payload['path']!r} outside the input root "
+                            f"{input_root!r} — refusing to copy a "
+                            "manifest that would keep pointing at the "
+                            "source run"
+                        )
+                    payload["path"] = os.path.join(
+                        output_root, os.path.relpath(rec, norm_in)
+                    )
+                with open(os.path.join(dst_dir, f), "w") as fh:
+                    json.dump(payload, fh)
+            else:
+                shutil.copy2(src_f, os.path.join(dst_dir, f))
 
 
 def main() -> None:
@@ -27,9 +86,6 @@ def main() -> None:
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--num-partitions", type=int, default=None)
     args = ap.parse_args()
-
-    import os
-    import shutil
 
     from pyspark.sql import SparkSession
 
@@ -62,28 +118,7 @@ def main() -> None:
         raise RuntimeError(
             f"row count changed during compaction: {rows} -> {out_rows}"
         )
-    src_lin = os.path.join(args.input, "_lineage")
-    if os.path.isdir(src_lin):
-        # per-sink manifests carry absolute 'path' fields under the OLD
-        # root — rewrite them to the new root during the copy (review
-        # fix r5: a verbatim copy pointed consumers at the source run)
-        for root, _, files in os.walk(src_lin):
-            rel = os.path.relpath(root, src_lin)
-            dst_dir = os.path.join(args.output, "_lineage", rel)
-            os.makedirs(dst_dir, exist_ok=True)
-            for f in files:
-                src_f = os.path.join(root, f)
-                if f.endswith(".json"):
-                    with open(src_f) as fh:
-                        payload = json.load(fh)
-                    if isinstance(payload.get("path"), str):
-                        payload["path"] = payload["path"].replace(
-                            args.input.rstrip("/"), args.output.rstrip("/"), 1
-                        )
-                    with open(os.path.join(dst_dir, f), "w") as fh:
-                        json.dump(payload, fh)
-                else:
-                    shutil.copy2(src_f, os.path.join(dst_dir, f))
+    copy_sidecars(args.input, args.output)
     print(json.dumps({"rows": rows, "run_id": args.run_id, "compacted": True}))
     spark.stop()
 

@@ -516,10 +516,36 @@ def test_archive_sink_layout_end_to_end(spark, tmp_path, tiny):
         map(tuple, mw.drop("run_id").collect())
     )
 
+    # VERDICT r5 #4: the stored-template dictionary is persisted beside
+    # the sinks at write time; a search session reads it instead of
+    # re-running a distinct pass over the archive, and it covers the
+    # archive by construction (verify_coverage proves it)
+    from fluent_bit_clp_spark.operators.search import search_stored_archive
+    from fluent_bit_clp_spark.plans.pipeline import load_archive_dictionary
+
+    adict = load_archive_dictionary(spark, out_a, "run-l")
+    assert set(adict.columns) == {"logtype_stored", "logtype", "logtype_id"}
+    hits = search_stored_archive(
+        arch, "Task * started by user * at attempt *", adict,
+        verify_coverage=True,
+    )
+    naive = tiny.where(
+        F.col("text").rlike("^Task .* started by user .* at attempt .*")
+    )
+    assert hits.count() == naive.count() > 0
+    with pytest.raises(ValueError, match="archive-layout"):
+        load_archive_dictionary(spark, out_w, "run-l")
+
     # resume under a different layout must refuse (same contract as
     # encoding_mode: committed schema != what consumers would expect)
     with pytest.raises(ValueError, match="sink_layout"):
         run_to_sinks(spark, tiny, out_a, "run-l")
-    # resume under the SAME layout replays counters without rewriting
+    # resume under the SAME layout replays counters without rewriting,
+    # and the dictionary extend is idempotent (nothing new to append)
+    before = sorted(map(tuple, adict.collect()))
     res = run_to_sinks(spark, tiny, out_a, "run-l", cfg=cfg)
     assert sorted(res["resumed_skipped"]) == sorted(res["sinks"])
+    after = sorted(
+        map(tuple, load_archive_dictionary(spark, out_a, "run-l").collect())
+    )
+    assert after == before

