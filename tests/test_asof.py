@@ -226,6 +226,39 @@ def test_asof_time_blocks_parallelizes_hot_key(spark):
         spark.conf.set(bcast_key, prev_b)
 
 
+def test_pick_time_blocks_unit():
+    """B from the skew probe (VERDICT r5 #5): 1 when the hottest key fits
+    one task (or the input is empty), else ceil(hot/rows_per_task),
+    capped."""
+    from fluent_bit_clp_spark.operators.asof import _pick_time_blocks
+
+    assert _pick_time_blocks(None, 1000, 64) == 1  # empty input: max() is None
+    assert _pick_time_blocks(0, 1000, 64) == 1
+    assert _pick_time_blocks(1000, 1000, 64) == 1
+    assert _pick_time_blocks(1001, 1000, 64) == 2
+    assert _pick_time_blocks(10_000, 1000, 64) == 10
+    assert _pick_time_blocks(10**9, 1000, 64) == 64  # cap
+
+
+def test_asof_auto_time_blocks_default_splits_hot_key(spark):
+    """VERDICT r5 #5 done-criterion: with the DEFAULT time_blocks (None →
+    exact skew probe) a pathologically hot key is pre-split without the
+    caller anticipating it.  rows_per_task is shrunk so the ~700-row test
+    corpus crosses the threshold the way a multi-million-row key would at
+    the 2M default; results stay bit-identical to the forced single
+    window."""
+    left, right = _hot_key_sides(spark)
+    auto = asof_join(left, right, on=["k"], rows_per_task=100)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "_asof_blk" in plan  # the probe chose the blocked path
+    rows = lambda df: sorted(map(tuple, df.collect()), key=str)
+    assert rows(auto) == rows(
+        asof_join(left, right, on=["k"], time_blocks=1)
+    )
+    with pytest.raises(ValueError, match="rows_per_task"):
+        asof_join(left, right, on=["k"], rows_per_task=0)
+
+
 def test_asof_with_map_payload_column(spark):
     """Review fix r4: a map-typed right column (e.g. props) must not
     break the window sort — tie-break uses only orderable columns."""

@@ -302,9 +302,34 @@ def test_single_pass_partial_separator_overlap(spark):
 
 
 def test_grok_temp_columns_guarded(spark):
-    df = spark.createDataFrame([("a 1", "x")], "text string, _grok_parts string")
+    df = spark.createDataFrame([("a 1 b", "x")],
+                               "text string, _grok_parts string")
     with pytest.raises(ValueError, match="_grok_parts"):
-        grok_parse(df, "text", "a %{INT:n}")
+        grok_parse(df, "text", "a %{INT:n} %{WORD:w}")
+
+
+def test_grok_temp_clash_only_when_single_pass_runs(spark):
+    """Advice fix r5: _grok_m/_grok_parts only exist on the single-pass
+    branch (single_pass=True and k>=2) — a single-field call or an
+    explicit single_pass=False must process such a frame fine."""
+    df = spark.createDataFrame([("a 1 b", "x")],
+                               "text string, _grok_parts string")
+    assert grok_parse(df, "text", "a %{INT:n}").collect()[0].n == "1"
+    row = grok_parse(
+        df, "text", "a %{INT:n} %{WORD:w}", single_pass=False
+    ).collect()[0]
+    assert (row.n, row.w) == ("1", "b")
+
+
+def test_compile_bare_dollar_anchor():
+    """Advice fix r5: a pattern of exactly '$' compiles to the anchor
+    alone, not '\\$$' (the old `or None` slice kept '$' as body text)."""
+    rx, fields, _ = compile_grok("$")
+    assert rx == "$" and fields == {}
+    assert re.search(rx, "anything") is not None
+    rx2, _, _ = compile_grok("^$")
+    assert rx2 == "^$"
+    assert re.fullmatch(rx2, "") is not None and re.search(rx2, "x") is None
 
 
 @settings(max_examples=8, deadline=None)
