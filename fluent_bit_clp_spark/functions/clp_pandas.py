@@ -254,15 +254,112 @@ def _float_ok(tok: str, fourbyte: bool) -> bool:
     return len(digits) <= FLOAT_MAX_DIGITS
 
 
+@_functools.lru_cache(maxsize=65536)
+def _tok_cached(tok: str, fourbyte: bool):
+    """(kind, encoded, dict_tok) for one token — classify + pack once per
+    UNIQUE token instead of once per occurrence (tokens repeat heavily:
+    enum-ish values, repeated sizes/ports).  Worst case 65536 × ≤256-char
+    keys ≈ ≤16 MiB per worker; longer tokens classify uncached."""
+    k = _classify_tok(tok, fourbyte)
+    if k == KIND_INT:
+        return KIND_INT, int(tok), None
+    if k == KIND_FLOAT:
+        return KIND_FLOAT, _pack_float4(tok) if fourbyte else _pack_float(tok), None
+    return KIND_DICT, None, tok
+
+
+def _tok_info(tok: str, fourbyte: bool):
+    if len(tok) <= 256:
+        return _tok_cached(tok, fourbyte)
+    k = _classify_tok(tok, fourbyte)
+    if k == KIND_INT:
+        return k, int(tok), None
+    if k == KIND_FLOAT:
+        return k, _pack_float4(tok) if fourbyte else _pack_float(tok), None
+    return k, None, tok
+
+
+# Plain-dict id cache for the batch encoder: an lru_cache HIT costs ~1.5 µs
+# of C-wrapper overhead per call, which at ~5 ids/row was the profiled #1
+# encode cost after round 5 — a dict .get() is ~20× cheaper, and the
+# misses are batch-hashed vectorized (xxh64_np).  Bounded by a BYTE
+# budget (64 MiB of key chars per worker) rather than an entry cap so
+# multi-KiB logtypes — hashed once per ROW without caching — stay
+# cacheable while a flood of unique long strings still can't pin
+# unbounded memory.
+_ID_CACHE: dict[str, int] = {}
+_ID_CACHE_BYTES = [0]
+_ID_CACHE_BYTE_BUDGET = 64 << 20
+
+
+def _batch_ids(strs: list[str]) -> dict[str, int]:
+    """Ensure every string in ``strs`` is id-resolvable; batch-hash the
+    cache misses in one vectorized shot.  Returns the per-call overflow
+    dict for strings the bounded global cache refused."""
+    missing = sorted({s for s in strs if s not in _ID_CACHE})
+    if not missing:
+        return {}
+    from fluent_bit_clp_spark.functions.xxh64_np import xxh64_batch_strs
+
+    overflow = {}
+    used = _ID_CACHE_BYTES
+    for s, h in zip(missing, xxh64_batch_strs(missing)):
+        h = int(h)
+        if used[0] + len(s) <= _ID_CACHE_BYTE_BUDGET:
+            _ID_CACHE[s] = h
+            used[0] += len(s)
+        else:
+            overflow[s] = h
+    return overflow
+
+
 def _encode_batch(texts: pd.Series, mode: str = MODE_I64) -> pd.DataFrame:
-    rows = []
+    """Batch twin of :func:`_encode_one` (equivalence pinned in
+    tests/test_clp_core.py): two C-level regex passes per row (sub for the
+    logtype, findall for the tokens) replace the Python splice loop,
+    per-unique-token classify/pack via ``_tok_cached``, and all dict/
+    logtype ids resolved through ``_ID_CACHE`` + one vectorized xxh64
+    pass over the batch's unique misses."""
+    fourbyte = mode == MODE_4BYTE
+    sub, findall = _VAR.sub, _VAR.findall
+    tok_info = _tok_info
+    parsed = []
+    need_ids: list[str] = []
     for t in texts:
-        lt, kinds, encs, dicts = _encode_one(t, mode)
-        if lt is None:
+        if t is None:
+            parsed.append(None)
+            continue
+        esc = t.replace(ESCAPE, ESCAPE + "e").replace(PLACEHOLDER, ESCAPE + "p")
+        lt = sub(PLACEHOLDER, esc)
+        kinds: list[int] = []
+        encs: list[int | None] = []
+        dicts: list[str | None] = []
+        ka, ea, da = kinds.append, encs.append, dicts.append
+        for tok in findall(esc):
+            k, e, d = tok_info(tok, fourbyte)
+            ka(k)
+            ea(e)
+            if d is not None:
+                need_ids.append(d)
+            da(d)
+        parsed.append((lt, kinds, encs, dicts))
+        need_ids.append(lt)
+    overflow = _batch_ids(need_ids)
+    get_id = _ID_CACHE.get
+    rows = []
+    for p in parsed:
+        if p is None:
             rows.append((None, None, None, None, None, None))
             continue
-        ids = [None if d is None else _xxh64_str(d) for d in dicts]
-        rows.append((lt, kinds, encs, dicts, ids, _xxh64_str(lt)))
+        lt, kinds, encs, dicts = p
+        ids = [
+            None if d is None else (
+                v if (v := get_id(d)) is not None else overflow[d]
+            )
+            for d in dicts
+        ]
+        lt_id = v if (v := get_id(lt)) is not None else overflow[lt]
+        rows.append((lt, kinds, encs, dicts, ids, lt_id))
     out = pd.DataFrame(
         rows,
         columns=["logtype", "var_kinds", "encoded_vars", "dict_vars",

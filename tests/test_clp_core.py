@@ -121,6 +121,73 @@ def test_roundtrip_property_numbers(nums):
     assert _decode_one(lt, k, e, d) == text
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+                max_size=120,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_batch_encode_equals_per_row(texts):
+    """The vectorized ``_encode_batch`` (r6: two-regex-pass rows, cached
+    token info, dict-cache + batch-hashed ids) must equal the per-row
+    ``_encode_one`` + scalar-hash composition on arbitrary text —
+    including control bytes, nulls and unicode."""
+    import pandas as pd
+
+    from fluent_bit_clp_spark.functions.clp_pandas import (
+        _encode_batch,
+        _xxh64_str,
+    )
+
+    got = _encode_batch(pd.Series(texts, dtype=object))
+    for i, t in enumerate(texts):
+        lt, k, e, d = _encode_one(t)
+        row = got.iloc[i]
+        if lt is None:
+            assert row["logtype"] is None
+            continue
+        assert row["logtype"] == lt
+        assert row["var_kinds"] == k
+        assert row["encoded_vars"] == e
+        assert row["dict_vars"] == d
+        assert row["dict_var_ids"] == [
+            None if x is None else _xxh64_str(x) for x in d
+        ]
+        assert row["logtype_id"] == _xxh64_str(lt)
+
+
+def test_batch_encode_id_cache_budget_overflow():
+    """Strings past the id-cache byte budget still get correct ids via
+    the per-call overflow dict — only caching is skipped."""
+    import pandas as pd
+
+    from fluent_bit_clp_spark.functions import clp_pandas as C
+
+    saved_budget, saved_used = C._ID_CACHE_BYTE_BUDGET, C._ID_CACHE_BYTES[0]
+    try:
+        C._ID_CACHE_BYTE_BUDGET = 0  # force every id through overflow
+        texts = ["conv zz0verflow4a 12", "conv zz0verflow4b 3.5"]
+        got = C._encode_batch(pd.Series(texts, dtype=object))
+        for i, t in enumerate(texts):
+            lt, _, _, d = _encode_one(t)
+            assert got.iloc[i]["logtype_id"] == C._xxh64_str(lt)
+            assert got.iloc[i]["dict_var_ids"] == [
+                None if x is None else C._xxh64_str(x) for x in d
+            ]
+        assert "zz0verflow4a" not in C._ID_CACHE
+    finally:
+        C._ID_CACHE_BYTE_BUDGET = saved_budget
+        C._ID_CACHE_BYTES[0] = saved_used
+
+
 def test_native_equals_pandas_udf(spark):
     """The JVM-native and pandas-UDF implementations agree field-for-field."""
     from fluent_bit_clp_spark.datagen import transcripts
