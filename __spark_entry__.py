@@ -861,7 +861,9 @@ def _grok_apache_oracle_sql() -> str:
     )
 
 
-_ARCHIVE_SEARCH_QUERY = "Retrying container-* after *s: connection reset by peer"
+# '?' (any ONE char — CLP's second wildcard, r6) in a literal position:
+# the prune stages widen it to '*', decode-verify enforces one-char
+_ARCHIVE_SEARCH_QUERY = "Retrying container-* after *s: c?nnection reset by peer"
 
 
 def q_e1_search_stored_archive(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,7 +8,8 @@ message text for non-matching rows.
 
 Plan here (the classic prune + verify):
 
-1. :func:`compile_relaxed_pattern` turns a ``*``-wildcard query into a
+1. :func:`compile_relaxed_pattern` turns a wildcard query (``*`` = any
+   run of chars, ``?`` = any one char — CLP's two wildcards) into a
    regex over the **logtype** column.  Variable tokens in the query become
    the placeholder byte.  A token fragment adjacent to a ``*`` (e.g.
    ``container-*`` where the data token ``container-1a00…`` encodes as a
@@ -51,8 +52,15 @@ def _relax(fragment: str) -> str:
 
 
 def compile_relaxed_pattern(query: str) -> str:
-    """``*``-wildcard query → over-selecting regex on the logtype column."""
-    parts = query.split("*")
+    """``*``/``?``-wildcard query → over-selecting regex on the logtype
+    column.  ``?`` (any ONE char, CLP's second wildcard) is widened to
+    ``*`` for pruning: every text matching ``?`` also matches ``*``, so
+    the prune language is a superset and stays sound, while the adjacent-
+    fragment ambiguity machinery (a ``?`` could be a token char extending
+    a variable, e.g. ``id-?4`` matching the single token ``id-34``) comes
+    for free.  Exact one-char semantics are enforced by the decode-verify
+    regex (:func:`exact_text_pattern`)."""
+    parts = query.replace("?", "*").split("*")
     out = []
     for i, part in enumerate(parts):
         logtype = _encode_one(part)[0]
@@ -74,7 +82,10 @@ def compile_relaxed_pattern(query: str) -> str:
 
 
 def exact_text_pattern(query: str) -> str:
-    r"""Anchored verify regex for the decoded text.  The end anchor is
+    r"""Anchored verify regex for the decoded text: ``*`` → ``.*``,
+    ``?`` → ``.`` (exactly one char — here, unlike the prune stages, the
+    two wildcards keep their distinct semantics; ``.`` excludes ``\n``
+    identically in Java and RE2 default mode).  The end anchor is
     ``\z`` (end of input), not ``$``: Java's ``$`` also matches before a
     final line terminator, so a text ending in ``\n`` that otherwise
     matches would count as a Spark hit but not a DuckDB/RE2 oracle hit
@@ -82,7 +93,8 @@ def exact_text_pattern(query: str) -> str:
     (matching RE2's non-multiline ``$``), so both engines agree.  The
     relaxed LOGTYPE prune pattern keeps ``$`` — over-selection there is
     harmless (decode-verify follows)."""
-    return "^" + ".*".join(re.escape(p) for p in query.split("*")) + "\\z"
+    seg = lambda p: "".join("." if c == "?" else re.escape(c) for c in p)
+    return "^" + ".*".join(seg(p) for p in query.split("*")) + "\\z"
 
 
 def compile_var_predicates(query: str, mode: str = MODE_I64) -> list:
@@ -107,10 +119,15 @@ def compile_var_predicates(query: str, mode: str = MODE_I64) -> list:
     ``mode`` MUST match the table's encode mode (i64 vs 4byte classify and
     pack tokens differently — a mismatched mode would silently drop true
     matches).
+
+    ``?`` widens to ``*`` exactly as in :func:`compile_relaxed_pattern`:
+    a token touching a ``?`` becomes wildcard-adjacent and is dropped
+    from the concrete predicates (sound — it might be a fragment of a
+    longer data token).
     """
     from fluent_bit_clp_spark.functions.clp_pandas import _xxh64_str
 
-    parts = query.split("*")
+    parts = query.replace("?", "*").split("*")
     preds = []
     for i, part in enumerate(parts):
         core = part
@@ -172,9 +189,12 @@ def compile_fragment_var_predicates(
     An oversized id set (> ``max_ids``) is non-discriminative; the
     fragment's predicate is skipped (sound — only ever removes true
     negatives).  Purely numeric fragments are skipped too (the token
-    could be an encoded variable).
+    could be an encoded variable).  ``?`` widens to ``*`` (see
+    :func:`compile_relaxed_pattern`), so a ``?``-adjacent fragment is
+    enumerated with contains/starts/ends orientation exactly like a
+    ``*``-adjacent one.
     """
-    parts = query.split("*")
+    parts = query.replace("?", "*").split("*")
     last = len(parts) - 1
     frags: list[tuple[str, str]] = []  # (regex_on_var, fragment)
     for i, part in enumerate(parts):

@@ -366,6 +366,73 @@ def test_exact_text_pattern_strict_end_anchor(spark):
     assert rows == []
 
 
+def _naive_wild(df, query):
+    """Brute-force oracle with true wildcard semantics: * = any run,
+    ? = exactly one char."""
+    seg = lambda p: "".join("." if c == "?" else re.escape(c) for c in p)
+    pat = "^" + ".*".join(seg(p) for p in query.split("*")) + "\\z"
+    return df.where(F.col("text").rlike(pat))
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "connection established successfull?",  # literal tail position
+        "Task * started by user * at attempt ?",  # variable position
+        "GET /api/v?/users/* took * ms",  # inside what encodes as a var token
+        "Retrying container-??" + "* after *s: c?nnection reset by peer",
+    ],
+)
+def test_question_mark_wildcard_matches_naive(spark, encoded, query):
+    """r6: '?' (any ONE char — CLP's second wildcard) through the full
+    prune pipeline equals the brute-force regex, in literal, variable
+    and fragment positions."""
+    got = search_encoded(encoded, query).select("conv_id", "turn_idx")
+    want = _naive_wild(encoded, query).select("conv_id", "turn_idx")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_question_mark_exactly_one_char(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "job 42 done"),
+            ("a", 1, "job 420 done"),
+            ("a", 2, "job 4 done"),
+            ("a", 3, "jqb 42 done"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    enc = clp_encode(df)
+    hits = lambda q: {r.turn_idx for r in search_encoded(enc, q).collect()}
+    assert hits("job 4? done") == {0}  # one char, not zero ('job 4 done')
+    assert hits("job 4?? done") == {1}
+    assert hits("j?b 42 done") == {0, 3}  # '?' spans o/q in literal text
+    assert hits("job ?? done") == {0}
+    assert hits("job ? done") == {2}
+
+
+def test_question_mark_stored_archive(spark, encoded):
+    """'?' through the scan-pruned stored-archive path: prune widens it
+    to '*' for the template isin, decode-verify restores one-char
+    semantics — equal to brute force over the decoded text."""
+    from fluent_bit_clp_spark.operators.archive import to_archive
+    from fluent_bit_clp_spark.operators.search import (
+        archive_logtype_dictionary,
+        search_stored_archive,
+    )
+
+    q = "Retrying container-* after *s: c?nnection reset by peer"
+    arch = to_archive(encoded)
+    got = search_stored_archive(
+        arch, q, archive_logtype_dictionary(arch)
+    ).select("conv_id", "turn_idx")
+    want = _naive_wild(encoded, q).select("conv_id", "turn_idx")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert want.count() > 0
+
+
 def test_stale_archive_dictionary_coverage_check(spark, encoded):
     """VERDICT r5 #3: verify_coverage=True proves the covering contract —
     a dictionary missing templates the archive contains raises a typed
