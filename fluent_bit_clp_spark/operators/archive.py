@@ -94,7 +94,10 @@ def _unescape_archive(col: str) -> str:
 
 
 def compact_archive(
-    archive: DataFrame, num_partitions: int | None = None
+    archive: DataFrame,
+    num_partitions: int | None = None,
+    ts_col: str | None = None,
+    time_bucket_ms: int = 3_600_000,
 ) -> DataFrame:
     """Template-cluster an archive table for storage — CLP archives group
     rows by logtype for exactly this reason: runs of identical templates
@@ -114,6 +117,19 @@ def compact_archive(
     archive-building pass): row order inside sink files is storage-
     internal, and consumers already order by explicit (conv_id,
     turn_idx) keys, never file position.
+
+    ``ts_col`` (r6) prepends a TIME dimension to the clustering — CLP
+    proper segments archives by time range first, then groups templates
+    within a segment, so a time-bounded search never opens cold
+    segments.  Rows are bucketed into ``time_bucket_ms`` windows
+    (default 1 h) and the range partition / intra-partition sort lead
+    with the bucket: row-group footers then carry tight min/max on BOTH
+    the timestamp and the template, and
+    ``search_stored_archive(time_range=...)`` skips row groups on
+    either.  Template-clustering quality within a bucket is unchanged;
+    choose the bucket so each (bucket × template) run still spans many
+    rows — at 100 TB/day, 1 h buckets ≈ 4 TB per time slice, far above
+    row-group granularity.
     """
     # spread key: hash of conv_id when present, else a hash over ALL
     # columns — xxhash64("logtype") alone was functionally dependent on
@@ -124,12 +140,22 @@ def compact_archive(
         if "conv_id" in archive.columns
         else F.xxhash64(*archive.columns)
     )
+    keys = [F.col("logtype"), spread]
+    sort_keys = ["logtype"]
+    if ts_col is not None:
+        if ts_col not in archive.columns:
+            raise ValueError(
+                f"ts_col {ts_col!r} not in archive columns {archive.columns}"
+            )
+        bucket = F.floor(F.col(ts_col) / F.lit(time_bucket_ms))
+        keys = [bucket, *keys]
+        sort_keys = [bucket, "logtype"]
     parted = (
-        archive.repartitionByRange(num_partitions, F.col("logtype"), spread)
+        archive.repartitionByRange(num_partitions, *keys)
         if num_partitions
-        else archive.repartitionByRange(F.col("logtype"), spread)
+        else archive.repartitionByRange(*keys)
     )
-    return parted.sortWithinPartitions("logtype")
+    return parted.sortWithinPartitions(*sort_keys)
 
 
 def untyped_logtype_expr(col: str = "logtype") -> str:

@@ -350,6 +350,8 @@ def search_stored_archive(
     var_dictionary: DataFrame | None = None,
     max_templates: int = 1024,
     verify_coverage: bool = False,
+    time_range: tuple[int, int] | None = None,
+    ts_col: str = "ts_ms",
 ) -> DataFrame:
     """Search an ARCHIVE-layout table with SCAN-level template pruning.
 
@@ -380,9 +382,27 @@ def search_stored_archive(
     rather than letting a stale externally-maintained dictionary return
     silently empty/partial results (VERDICT r5 #3).  Default off: a
     dictionary built by :func:`archive_logtype_dictionary` or maintained
-    by :func:`extend_archive_dictionary` covers by construction."""
+    by :func:`extend_archive_dictionary` covers by construction.
+
+    ``time_range=(lo_ms, hi_ms)`` (r6, inclusive) bounds the search in
+    time — CLP's archive search prunes whole time segments before
+    looking at templates.  The filter lands next to the template
+    ``isin`` in the parquet scan (``PushedFilters:
+    GreaterThanOrEqual/LessThanOrEqual(ts_col)``), so on an archive
+    compacted with ``compact_archive(ts_col=...)`` (time-leading
+    clustering) row groups outside the window are skipped on footer
+    stats alone; on a time-ordered-ingest archive natural clustering
+    gives the same skip.  Requires ``ts_col`` in the archive columns."""
     from fluent_bit_clp_spark.operators.archive import from_archive
 
+    if time_range is not None:
+        if ts_col not in archive.columns:
+            raise ValueError(
+                f"time_range given but ts_col {ts_col!r} not in archive "
+                f"columns {archive.columns}"
+            )
+        lo, hi = time_range
+        archive = archive.where(F.col(ts_col).between(F.lit(lo), F.lit(hi)))
     if "var_kinds" in archive.columns:
         raise ValueError(
             "search_stored_archive expects the ARCHIVE layout (kind-typed "

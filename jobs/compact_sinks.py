@@ -85,6 +85,15 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="clustered copy root")
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument(
+        "--ts-col",
+        default=None,
+        help="cluster time-leading on this column (CLP's time-segmented "
+        "archives): row groups become prunable by BOTH timestamp and "
+        "template footer stats — pair with "
+        "search_stored_archive(time_range=...)",
+    )
+    ap.add_argument("--time-bucket-ms", type=int, default=3_600_000)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -103,7 +112,12 @@ def main() -> None:
     sinks = spark.read.parquet(os.path.join(args.input, "sinks"))
     rows = sinks.count()
     (
-        compact_archive(sinks, num_partitions=args.num_partitions)
+        compact_archive(
+            sinks,
+            num_partitions=args.num_partitions,
+            ts_col=args.ts_col,
+            time_bucket_ms=args.time_bucket_ms,
+        )
         .write.mode("error")
         .partitionBy("sink")
         .parquet(os.path.join(args.output, "sinks"))

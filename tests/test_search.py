@@ -340,6 +340,73 @@ def test_search_stored_archive_pushes_template_filter(spark, tmp_path, encoded):
     assert "EqualTo(logtype," not in fb._jdf.queryExecution().executedPlan().toString()
 
 
+def test_search_stored_archive_time_range(spark, tmp_path):
+    """r6: time-bounded archive search — the ts window joins the template
+    isin in PushedFilters, and compact_archive(ts_col=...) clusters
+    time-leading so row-group footers are discriminative on both."""
+    from fluent_bit_clp_spark.operators.archive import (
+        compact_archive,
+        to_archive,
+    )
+    from fluent_bit_clp_spark.operators.search import (
+        archive_logtype_dictionary,
+        search_stored_archive,
+    )
+
+    df = spark.createDataFrame(
+        [(f"c{i}", i, 1000 * i, f"job {i} done") for i in range(100)],
+        "conv_id string, turn_idx int, ts_ms bigint, text string",
+    )
+    enc = clp_encode(df)
+    p = str(tmp_path / "arch_t")
+    compact_archive(
+        to_archive(enc), num_partitions=3, ts_col="ts_ms",
+        time_bucket_ms=20_000,
+    ).write.parquet(p)
+    arch = spark.read.parquet(p)
+    adict = archive_logtype_dictionary(arch)
+    meta_key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(meta_key)
+    try:
+        # default 100 truncates the PushedFilters list mid-entry
+        spark.conf.set(meta_key, "2000")
+        hits = search_stored_archive(
+            arch, "job * done", adict, time_range=(30_000, 60_000)
+        )
+        got = {r.turn_idx for r in hits.collect()}
+        assert got == set(range(30, 61))
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert re.search(
+            r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts_ms,30000\)", plan
+        ), plan[:1500]
+        assert "LessThanOrEqual(ts_ms,60000" in plan
+    finally:
+        spark.conf.set(meta_key, prev)
+
+    # time-leading clustering: each output file covers a bounded slice of
+    # the bucket space (ranges overlap only at shared boundary buckets)
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    per_file_buckets = []
+    for f in _glob.glob(p + "/*.parquet"):
+        t = pq.read_table(f, columns=["ts_ms"])
+        bks = {v // 20_000 for v in t.column("ts_ms").to_pylist()}
+        if bks:
+            per_file_buckets.append(bks)
+    n_buckets = len(set().union(*per_file_buckets))
+    assert sum(len(b) for b in per_file_buckets) <= (
+        n_buckets + len(per_file_buckets) - 1
+    )
+
+    with pytest.raises(ValueError, match="ts_col"):
+        search_stored_archive(
+            arch.drop("ts_ms"), "job * done", adict, time_range=(0, 1)
+        )
+    with pytest.raises(ValueError, match="ts_col"):
+        compact_archive(to_archive(enc), ts_col="nope")
+
+
 def test_exact_text_pattern_strict_end_anchor(spark):
     r"""ADVICE r5: Java's ``$`` also matches before a final ``\n``, RE2's
     does not — a trailing-newline text must NOT be a hit on either side.
