@@ -892,6 +892,25 @@ def q_e1_search_stored_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("conv_id", "turn_idx")
 
 
+def q_e1_search_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search aggregation (r6): matches per day bucket — the CLP
+    log-viewer's count-over-time surface.  Counting runs AFTER
+    decode-verify (relaxed-prune over-selection can never inflate a
+    bucket); the oracle recomputes day buckets with exact integer
+    arithmetic over the committed transcripts2000 fixture."""
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+    from fluent_bit_clp_spark.operators.search import (
+        search_count_by_time,
+        search_encoded,
+    )
+
+    df = transcripts(spark, 2000).select(
+        "conv_id", "turn_idx", "text", F.unix_millis("ts").alias("ts_ms")
+    )
+    hits = search_encoded(clp_encode_pandas(df), _ARCHIVE_SEARCH_QUERY)
+    return search_count_by_time(hits, bucket_ms=86_400_000)
+
+
 def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink routed-row counts over the transcript pipeline (north_rule
     correctness aggregate).  Oracle-backed since round 4: DuckDB recomputes
@@ -1879,14 +1898,31 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf_dir: _archive_roundtrip_violations(spark)
         ),
         "p_grok_apache": q_p_grok_apache,
+        "e1_search_count_by_time": q_e1_search_count_by_time,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for extra_queries() (the three round-trip gates are
     rows-only 0-row contracts, checked in pytest instead)."""
+    from fluent_bit_clp_spark.operators.search import exact_text_pattern
+
+    _TRANSCRIPTS_FIXTURE = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "transcripts2000"
+    )
     return {
         "p_grok_apache": _grok_apache_oracle_sql(),
+        # search + count-by-time-bucket: same exact-verify regex as the
+        # stored-archive oracle, day buckets via exact integer arithmetic
+        # (epoch_ms - positive mod, matching Spark's pmod construction)
+        "e1_search_count_by_time": (
+            f"select epoch_ms(ts) - ((epoch_ms(ts) % 86400000) + 86400000) "
+            "% 86400000 as bucket_start_ms, count(*) as n from "
+            f"read_parquet('{_TRANSCRIPTS_FIXTURE}/*.parquet') "
+            "where text is not null and regexp_matches(text, "
+            f"'{exact_text_pattern(_ARCHIVE_SEARCH_QUERY).replace(chr(39), chr(39) * 2)}') "
+            "group by 1"
+        ),
         "h_top_customers": (
             "with pc as (select c_custkey, c_nationkey, count(*) as n_orders "
             "from orders o join customer c on o.o_custkey = c.c_custkey "

@@ -286,6 +286,29 @@ def search_encoded(
     return verified.drop("_decoded")
 
 
+def search_count_by_time(
+    hits: DataFrame, bucket_ms: int = 3_600_000, ts_col: str = "ts_ms"
+) -> DataFrame:
+    """Matches per time bucket — the CLP log-viewer's count aggregation
+    over a search (one bar per bucket).  Apply to the output of
+    :func:`search_encoded` / :func:`search_stored_archive`; counting
+    happens AFTER decode-verify, so relaxed-prune over-selection can
+    never inflate a bucket.
+
+    Returns ``(bucket_start_ms, n)``.  Bucket start is computed with
+    ``ts - pmod(ts, bucket)`` — exact bigint arithmetic (no double
+    rounding at ns-epoch magnitudes) with floor semantics for negative
+    timestamps.  Scale: map-side-combinable count, one narrow exchange
+    of (bucket, partial-count) rows — the decode-verify cost dominates,
+    and only candidate rows reach it."""
+    if bucket_ms < 1:
+        raise ValueError(f"bucket_ms must be >= 1, got {bucket_ms}")
+    bucket = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(bucket_ms))).alias(
+        "bucket_start_ms"
+    )
+    return hits.groupBy(bucket).agg(F.count("*").alias("n"))
+
+
 class StaleArchiveDictionaryError(ValueError):
     """The supplied archive dictionary does not cover the archive: at
     least one stored template in the data has no dictionary row, so a

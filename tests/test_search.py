@@ -407,6 +407,25 @@ def test_search_stored_archive_time_range(spark, tmp_path):
         compact_archive(to_archive(enc), ts_col="nope")
 
 
+def test_search_count_by_time_buckets(spark):
+    """r6 log-viewer aggregation: counts land in floor-aligned buckets,
+    exact bigint arithmetic incl. negative timestamps."""
+    from fluent_bit_clp_spark.operators.search import search_count_by_time
+
+    df = spark.createDataFrame(
+        [("a", 0, -1, "x"), ("a", 1, 0, "x"), ("a", 2, 999, "x"),
+         ("a", 3, 1000, "x"), ("a", 4, 2500, "x")],
+        "conv_id string, turn_idx int, ts_ms bigint, text string",
+    )
+    got = {
+        (r.bucket_start_ms, r.n)
+        for r in search_count_by_time(df, bucket_ms=1000).collect()
+    }
+    assert got == {(-1000, 1), (0, 2), (1000, 1), (2000, 1)}
+    with pytest.raises(ValueError, match="bucket_ms"):
+        search_count_by_time(df, bucket_ms=0)
+
+
 def test_exact_text_pattern_strict_end_anchor(spark):
     r"""ADVICE r5: Java's ``$`` also matches before a final ``\n``, RE2's
     does not — a trailing-newline text must NOT be a hit on either side.
