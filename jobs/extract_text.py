@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""spark-submit entry point for text extraction — the analogue of CLP's
+``x``/decompress command (the reference pipeline's consumers read CLP
+archives back out through YScope tooling; here the engine itself closes
+the loop: compress → search → EXTRACT).
+
+Reads a committed run's sink table (either ``--sink-layout``; the layout
+comes from the data marker via ``load_sinks``), decodes every row back to
+its original text with the production Arrow decode path, and writes one
+text area per sink (``text/sink=<name>/*.txt``), rows ordered by
+(conv_id, turn_idx) within each file — the pipeline's explicit ordering
+keys (row order inside stored sink files is storage-internal).
+
+    spark-submit --py-files fluent_bit_clp_spark.zip jobs/extract_text.py \
+        --input <sink-root> --output <text-root> --run-id run-2026-08-16 \
+        [--sink tools.sh] [--time-range lo_ms hi_ms]
+
+Scale shape: one column-pruned scan of the selected sinks (+ the lazy
+archive reconstruction when stored as archive — Catalyst prunes it into
+the same scan), decode confined to selected rows, one hash exchange on
+sink for the partitioned write.  ``--time-range`` filters on ``ts_ms``
+BEFORE decode — the predicate reaches the parquet scan, so a
+time-clustered archive skips row groups exactly as in time-bounded
+search.  Encode-failed rows (null logtype) decode to null and are
+written as empty lines would be ambiguous — they are SKIPPED and
+counted in the summary instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def extract(
+    spark,
+    input_root: str,
+    output_root: str,
+    run_id: str = "run-0",
+    sink: str | None = None,
+    time_range: tuple[int, int] | None = None,
+) -> dict:
+    """The extraction itself — factored out of main() so tests drive it
+    against their own SparkSession (main() owns session lifecycle)."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_decode_pandas
+    from fluent_bit_clp_spark.plans.pipeline import load_sinks
+
+    df = load_sinks(spark, input_root, run_id)
+    if sink is not None:
+        known = [r[0] for r in df.select("sink").distinct().collect()]
+        if sink not in known:
+            raise ValueError(
+                f"sink {sink!r} not in this run's sinks {sorted(known)}"
+            )
+        df = df.where(F.col("sink") == sink)
+    if time_range is not None:
+        lo, hi = time_range
+        df = df.where(F.col("ts_ms").between(F.lit(lo), F.lit(hi)))
+    total = df.count()
+    dec = clp_decode_pandas(df).select(
+        "sink", "conv_id", "turn_idx", "decoded_text"
+    )
+    ok = dec.where(F.col("decoded_text").isNotNull())
+    skipped = total - ok.count()
+    (
+        ok.repartition("sink")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .select("sink", "decoded_text")
+        .write.mode("error")
+        .partitionBy("sink")
+        .text(os.path.join(output_root, "text"))
+    )
+    return {
+        "run_id": run_id,
+        "rows_written": total - skipped,
+        "rows_skipped_undecodable": skipped,
+        "extracted": True,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="committed run root")
+    ap.add_argument("--output", required=True, help="text output root")
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--sink", default=None, help="extract one sink only")
+    ap.add_argument(
+        "--time-range", nargs=2, type=int, default=None,
+        metavar=("LO_MS", "HI_MS"),
+        help="inclusive ts_ms window; pushed into the scan",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("clp-extract-text").getOrCreate()
+    summary = extract(
+        spark,
+        args.input,
+        args.output,
+        args.run_id,
+        sink=args.sink,
+        time_range=tuple(args.time_range) if args.time_range else None,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
