@@ -7,6 +7,8 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from fluent_bit_clp_spark.datagen import transcripts
 from fluent_bit_clp_spark.plans.pipeline import (
     block_offsets,
@@ -246,6 +248,39 @@ decode-verify work happens only above the pruned scan.
                 sarch,
                 "Retrying container-* after *s: connection reset by peer",
                 archive_logtype_dictionary(sarch),
+            )
+        ).strip()
+    )
+    out.append("""
+```
+
+## Time-bounded stored-archive search (round-6 shape)
+
+What to look for: with `compact_archive(ts_col=...)` (time-leading
+clustering) and `search_stored_archive(time_range=...)`, the timestamp
+window rides the SAME pushed-filter list as the template predicate —
+`PushedFilters: [GreaterThanOrEqual(ts_ms,...), LessThanOrEqual
+(ts_ms,...), ..., EqualTo/In(logtype, ...)]` — so row groups are
+skipped when EITHER the time window or the wanted templates exclude
+them (CLP's time-segmented archive pruning).
+
+```
+""")
+    tarch_path = os.path.join(tmp, "tsearch_arch")
+    compact_archive(
+        to_archive(clp_encode(df.select("text", "ts").withColumn(
+            "ts_ms", F.unix_millis("ts")).drop("ts"))),
+        num_partitions=4, ts_col="ts_ms",
+    ).write.parquet(tarch_path)
+    tarch = spark.read.parquet(tarch_path)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    out.append(
+        formatted(
+            search_stored_archive(
+                tarch,
+                "Retrying container-* after *s: connection reset by peer",
+                archive_logtype_dictionary(tarch),
+                time_range=(1767225600000, 1767312000000),
             )
         ).strip()
     )
