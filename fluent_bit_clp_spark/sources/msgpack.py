@@ -50,6 +50,7 @@ fixtures in tests/test_msgpack.py pin all four wire forms.
 from __future__ import annotations
 
 import json
+import re
 import struct
 from collections.abc import Iterator
 
@@ -334,6 +335,200 @@ def _ts_to_ms(ts, ts_mode: str):
     return None, False
 
 
+def _marshal_json(record) -> str:
+    return json.dumps(
+        record,
+        default=_json_default,
+        sort_keys=True,  # Go json.Marshal emits sorted map keys
+        separators=(",", ":"),
+        ensure_ascii=False,
+        # NaN/Inf: Go json.Marshal errors and the reference drops
+        # the record (GetRecord returns the marshal error) — we
+        # flag it malformed instead of emitting invalid JSON.
+        allow_nan=False,
+    )
+
+
+# Fused decode→JSON emitter (round 6).  json.dumps of the decoded map was
+# ~27% of iter_records wall time (BENCH.md msgpack ceiling); emitting the
+# JSON text directly while walking the msgpack bytes skips the
+# intermediate dict/list tree for the dominant record shapes.  Output is
+# pinned byte-identical to the _marshal_json path (differential property
+# test); anything the emitter doesn't fuse (bin/ext values, non-fixstr
+# map keys, non-finite floats, recursion-limit nesting) raises _Bail and
+# the record is replayed through _decode_one + _marshal_json, so the
+# exotic-type and malformed semantics are exactly the fallback's.
+
+_NEEDS_ESC = re.compile(r'["\\\x00-\x1f]')
+_esc_str = json.encoder.encode_basestring  # same escape set as the
+# C encoder with ensure_ascii=False: ["\\\x00-\x1f] only
+
+
+class _Bail(Exception):
+    pass
+
+
+def _emit_str(s: str) -> str:
+    if _NEEDS_ESC.search(s) is None:
+        return '"' + s + '"'
+    return _esc_str(s)
+
+
+# Log records repeat a small set of map keys millions of times; cache the
+# raw key bytes → (decoded, escaped-quoted) pair so the steady state pays
+# one dict lookup instead of utf-8 decode + escape scan per key.  Bounded
+# insert-side (per Python worker process); lookups past the cap just miss.
+_KEY_CACHE: dict[bytes, tuple[str, str]] = {}
+_KEY_CACHE_MAX = 4096
+
+
+def _emit_map(buf, pos, n):
+    # entries keyed by (raw, quoted) so duplicate keys dedup keep-last
+    # exactly like dict construction, and sorting orders by the raw key
+    # exactly like json.dumps(sort_keys=True)
+    entries = {}
+    blen = len(buf)
+    cache = _KEY_CACHE
+    for _ in range(n):
+        b = buf[pos]
+        if 0xA0 <= b <= 0xBF:  # fixstr key — the overwhelmingly hot case
+            end = pos + 1 + (b & 0x1F)
+            if end > blen:
+                raise _Bail
+            kb = buf[pos + 1 : end]
+            kq = cache.get(kb)
+            if kq is None:
+                k = kb.decode("utf-8", "replace")
+                kq = (k, _emit_str(k))
+                if len(cache) < _KEY_CACHE_MAX:
+                    cache[kb] = kq
+            pos = end
+        else:
+            raise _Bail  # non-fixstr key (str8/int/bin): replay generic
+        b = buf[pos]
+        if 0xA0 <= b <= 0xBF:  # fixstr value
+            end = pos + 1 + (b & 0x1F)
+            if end > blen:
+                raise _Bail
+            entries[kq] = _emit_str(buf[pos + 1 : end].decode("utf-8", "replace"))
+            pos = end
+        elif b <= 0x7F:  # positive fixint value
+            entries[kq] = str(b)
+            pos += 1
+        else:
+            entries[kq], pos = _emit_json(buf, pos)
+    items = sorted(entries.items()) if n > 1 else entries.items()
+    return "{" + ",".join([k[1] + ":" + v for k, v in items]) + "}", pos
+
+
+def _emit_arr(buf, pos, n):
+    frags = []
+    append = frags.append
+    blen = len(buf)
+    for _ in range(n):
+        b = buf[pos]
+        if 0xA0 <= b <= 0xBF:
+            end = pos + 1 + (b & 0x1F)
+            if end > blen:
+                raise _Bail
+            append(_emit_str(buf[pos + 1 : end].decode("utf-8", "replace")))
+            pos = end
+        else:
+            frag, pos = _emit_json(buf, pos)
+            append(frag)
+    return "[" + ",".join(frags) + "]", pos
+
+
+_INF = float("inf")
+
+
+def _emit_json(buf: bytes, pos: int) -> tuple[str, int]:
+    """Emit JSON text for one msgpack object at ``pos`` → (text, new_pos).
+
+    Same marker coverage as _decode_one for the JSON-native types; int
+    repr (str()), float repr (float.__repr__) and string escaping match
+    json.dumps exactly.  Raises _Bail (or IndexError/struct.error on
+    truncation, handled by iter_records' abort path) otherwise.
+    """
+    b = buf[pos]
+    pos += 1
+    if 0xA0 <= b <= 0xBF:  # fixstr
+        end = pos + (b & 0x1F)
+        if end > len(buf):
+            raise _Bail
+        return _emit_str(buf[pos:end].decode("utf-8", "replace")), end
+    if b <= 0x7F:  # positive fixint
+        return str(b), pos
+    if b >= 0xE0:  # negative fixint
+        return str(b - 0x100), pos
+    if b <= 0x8F:  # fixmap
+        return _emit_map(buf, pos, b & 0x0F)
+    if b <= 0x9F:  # fixarray
+        return _emit_arr(buf, pos, b & 0x0F)
+    if b == 0xC0:
+        return "null", pos
+    if b == 0xC2:
+        return "false", pos
+    if b == 0xC3:
+        return "true", pos
+    if b == 0xD9:
+        n = buf[pos]
+        pos += 1
+        end = pos + n
+        if end > len(buf):
+            raise _Bail
+        return _emit_str(buf[pos:end].decode("utf-8", "replace")), end
+    if b == 0xDA:
+        n = _SH.unpack_from(buf, pos)[0]
+        pos += 2
+        end = pos + n
+        if end > len(buf):
+            raise _Bail
+        return _emit_str(buf[pos:end].decode("utf-8", "replace")), end
+    if b == 0xDB:
+        n = _SI.unpack_from(buf, pos)[0]
+        pos += 4
+        end = pos + n
+        if end > len(buf):
+            raise _Bail
+        return _emit_str(buf[pos:end].decode("utf-8", "replace")), end
+    if b == 0xCC:
+        return str(buf[pos]), pos + 1
+    if b == 0xCD:
+        return str(_SH.unpack_from(buf, pos)[0]), pos + 2
+    if b == 0xCE:
+        return str(_SI.unpack_from(buf, pos)[0]), pos + 4
+    if b == 0xCF:
+        return str(_SQ.unpack_from(buf, pos)[0]), pos + 8
+    if b == 0xD0:
+        return str(_Sb.unpack_from(buf, pos)[0]), pos + 1
+    if b == 0xD1:
+        return str(_Sh.unpack_from(buf, pos)[0]), pos + 2
+    if b == 0xD2:
+        return str(_Si.unpack_from(buf, pos)[0]), pos + 4
+    if b == 0xD3:
+        return str(_Sq.unpack_from(buf, pos)[0]), pos + 8
+    if b == 0xCA:
+        f = _Sf.unpack_from(buf, pos)[0]
+        if f != f or f == _INF or f == -_INF:
+            raise _Bail  # allow_nan=False path
+        return repr(f), pos + 4
+    if b == 0xCB:
+        f = _Sd.unpack_from(buf, pos)[0]
+        if f != f or f == _INF or f == -_INF:
+            raise _Bail
+        return repr(f), pos + 8
+    if b == 0xDC:
+        return _emit_arr(buf, pos + 2, _SH.unpack_from(buf, pos)[0])
+    if b == 0xDD:
+        return _emit_arr(buf, pos + 4, _SI.unpack_from(buf, pos)[0])
+    if b == 0xDE:
+        return _emit_map(buf, pos + 2, _SH.unpack_from(buf, pos)[0])
+    if b == 0xDF:
+        return _emit_map(buf, pos + 4, _SI.unpack_from(buf, pos)[0])
+    raise _Bail  # bin/ext/unknown marker → replay on the generic path
+
+
 def iter_records(
     blob: bytes, ts_mode: str = "v2"
 ) -> Iterator[tuple[int | None, str | None, bool]]:
@@ -347,6 +542,26 @@ def iter_records(
     n = len(blob)
     while pos < n:
         try:
+            if blob[pos] == 0x92:  # fixarray(2) — every wire layout's
+                # top level; fused decode→emit fast path
+                ts, rpos = _decode_one(blob, pos + 1)
+                try:
+                    record_json, pos = _emit_json(blob, rpos)
+                except (_Bail, RecursionError):
+                    record, pos = _decode_one(blob, rpos)
+                    try:
+                        record_json = _marshal_json(record)
+                    except (RecursionError, ValueError):
+                        yield None, None, True
+                        continue
+                if isinstance(ts, list):  # v2 metadata [[ts, meta], msg]
+                    if len(ts) < 2:  # minMetadataLen (decoder.go:114-115)
+                        yield None, None, True
+                        continue
+                    ts = ts[0]
+                ts_ms, ok = _ts_to_ms(ts, ts_mode)
+                yield ts_ms, record_json, not ok
+                continue
             obj, pos = _decode_one(blob, pos)
         except (MsgpackError, RecursionError, struct.error, IndexError):
             # RecursionError: adversarially deep nesting (e.g. thousands of
@@ -356,28 +571,20 @@ def iter_records(
             # Struct handler (same truncated-stream class as MsgpackError).
             yield None, None, True  # undecodable remainder
             return
+        # generic path: top level wasn't a fixarray(2) (array16/array32
+        # pairs are spec-legal; anything else is a malformed row)
         if not isinstance(obj, list) or len(obj) != 2:
             yield None, None, True
             continue
         ts, record = obj
-        if isinstance(ts, list):  # v2 metadata layout [[ts, meta], msg]
-            if len(ts) < 2:  # minMetadataLen (decoder.go:114-115)
+        if isinstance(ts, list):
+            if len(ts) < 2:
                 yield None, None, True
                 continue
             ts = ts[0]
         ts_ms, ok = _ts_to_ms(ts, ts_mode)
         try:
-            record_json = json.dumps(
-                record,
-                default=_json_default,
-                sort_keys=True,  # Go json.Marshal emits sorted map keys
-                separators=(",", ":"),
-                ensure_ascii=False,
-                # NaN/Inf: Go json.Marshal errors and the reference drops
-                # the record (GetRecord returns the marshal error) — we
-                # flag it malformed instead of emitting invalid JSON.
-                allow_nan=False,
-            )
+            record_json = _marshal_json(record)
         except (RecursionError, ValueError):
             yield None, None, True
             continue

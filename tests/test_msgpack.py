@@ -253,3 +253,55 @@ def test_bin_typed_map_key_decodes_as_string():
     rec = b"\x81\xc4\x03log\xa5hello"  # {bin8 'log': 'hello'}
     blob = b"\x92\xcf" + struct.pack(">Q", MS) + rec
     assert list(iter_records(blob, "v2")) == [(MS, RECORD_JSON, False)]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(max_size=64),  # >31-char keys hit the str8 non-fixstr-key
+        # bail → generic replay; short keys stay on the fused emitter
+        st.one_of(
+            st.text(max_size=300),  # str8/str16 values, escapes included
+            st.integers(min_value=-(2**63), max_value=2**64 - 1),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.lists(st.text(max_size=40), max_size=3),
+        ),
+        max_size=6,
+    )
+)
+def test_fused_emitter_differential(record):
+    """The fused decode→JSON emitter must render byte-identically to
+    json.dumps(sort_keys, compact, ensure_ascii=False) across marker
+    widths (fixstr/str8/str16), escape-needing text, and the bail→replay
+    boundary (non-fixstr map keys)."""
+    import json
+
+    blob = encode_record(1_700_000_000_123, record, "v2_uint_ms")
+    (_, got_json, bad) = next(iter(iter_records(blob, "v2")))
+    assert not bad
+    assert got_json == json.dumps(
+        record, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+    )
+
+
+def test_fused_emitter_bails_to_generic_on_bin_and_ext():
+    """bin/ext values inside a record aren't fused — the record replays
+    through the generic path: bin → utf-8 string, foreign ext → null
+    (decoder RawToString / unknown-ext policy), same as before round 6."""
+    # {"b": bin8"xy", "e": fixext1(7), "k": "v"}
+    rec = (b"\x83\xa1b\xc4\x02xy"
+           b"\xa1e\xd4\x07\x00"
+           b"\xa1k\xa1v")
+    blob = b"\x92\xcf" + struct.pack(">Q", MS) + rec
+    assert list(iter_records(blob, "v2")) == [
+        (MS, '{"b":"xy","e":null,"k":"v"}', False)
+    ]
+
+
+def test_fused_emitter_duplicate_keys_keep_last():
+    """Duplicate map keys keep the LAST value (dict semantics), fused and
+    generic paths alike."""
+    # {"k": "a", "k": "b"} on the wire
+    rec = b"\x82\xa1k\xa1a\xa1k\xa1b"
+    blob = b"\x92\xcf" + struct.pack(">Q", MS) + rec
+    assert list(iter_records(blob, "v2")) == [(MS, '{"k":"b"}', False)]
