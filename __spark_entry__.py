@@ -911,6 +911,39 @@ def q_e1_search_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_count_by_time(hits, bucket_ms=86_400_000)
 
 
+# deliberately MIS-cased vs the corpus (clg --ignore-case analogue, r6):
+# 'GET' stays literal in the logtype, '/api/v2/users/' is a wildcard-
+# adjacent dictionary fragment (digit-bearing) enumerated with (?i)
+_IGNORE_CASE_QUERY = "get /API/v2/users/* TOOK * MS"
+
+
+def q_e1_search_ignore_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive search (r6): the full prune stack — (?i) logtype
+    dictionary prune, case-folded variable predicates, (?i) fragment
+    enumeration — then exact (?i) decode-verify; the oracle runs the same
+    (?i) anchored regex over the committed transcripts2000 fixture's raw
+    text.  Case-SENSITIVE search with this query returns zero rows
+    (pinned in tests/test_search.py), so the oracle match proves the
+    folding, not just the plumbing."""
+    from fluent_bit_clp_spark.functions.clp_native import (
+        logtype_dictionary,
+        var_dictionary,
+    )
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+    from fluent_bit_clp_spark.operators.search import search_encoded
+
+    enc = clp_encode_pandas(
+        transcripts(spark, 2000).select("conv_id", "turn_idx", "text")
+    )
+    return search_encoded(
+        enc,
+        _IGNORE_CASE_QUERY,
+        dictionary=logtype_dictionary(enc),
+        var_dictionary=var_dictionary(enc),
+        ignore_case=True,
+    ).select("conv_id", "turn_idx")
+
+
 def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink routed-row counts over the transcript pipeline (north_rule
     correctness aggregate).  Oracle-backed since round 4: DuckDB recomputes
@@ -1899,6 +1932,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "p_grok_apache": q_p_grok_apache,
         "e1_search_count_by_time": q_e1_search_count_by_time,
+        "e1_search_ignore_case": q_e1_search_ignore_case,
     }
 
 
@@ -1922,6 +1956,15 @@ def extra_oracle_sql() -> dict[str, str]:
             "where text is not null and regexp_matches(text, "
             f"'{exact_text_pattern(_ARCHIVE_SEARCH_QUERY).replace(chr(39), chr(39) * 2)}') "
             "group by 1"
+        ),
+        # (?i) is ASCII-folded identically by Java regex and DuckDB/RE2
+        # for ASCII queries like this one (the documented contract —
+        # operators/search.py compile_relaxed_pattern)
+        "e1_search_ignore_case": (
+            f"select conv_id, turn_idx from "
+            f"read_parquet('{_TRANSCRIPTS_FIXTURE}/*.parquet') "
+            "where text is not null and regexp_matches(text, "
+            f"'{exact_text_pattern(_IGNORE_CASE_QUERY, ignore_case=True).replace(chr(39), chr(39) * 2)}')"
         ),
         "h_top_customers": (
             "with pc as (select c_custkey, c_nationkey, count(*) as n_orders "

@@ -45,13 +45,14 @@ from fluent_bit_clp_spark.functions.clp_pandas import _encode_one
 _TOKEN_CHARS = r"[A-Za-z0-9_./+-]"
 _TRAILING_FRAG = re.compile(f"{_TOKEN_CHARS}+$")
 _LEADING_FRAG = re.compile(f"^{_TOKEN_CHARS}+")
+_HAS_LETTER = re.compile("[A-Za-z]")
 
 
 def _relax(fragment: str) -> str:
     return f"(?:{re.escape(fragment)}|{re.escape(PLACEHOLDER)})"
 
 
-def compile_relaxed_pattern(query: str) -> str:
+def compile_relaxed_pattern(query: str, ignore_case: bool = False) -> str:
     """``*``/``?``-wildcard query → over-selecting regex on the logtype
     column.  ``?`` (any ONE char, CLP's second wildcard) is widened to
     ``*`` for pruning: every text matching ``?`` also matches ``*``, so
@@ -59,7 +60,15 @@ def compile_relaxed_pattern(query: str) -> str:
     fragment ambiguity machinery (a ``?`` could be a token char extending
     a variable, e.g. ``id-?4`` matching the single token ``id-34``) comes
     for free.  Exact one-char semantics are enforced by the decode-verify
-    regex (:func:`exact_text_pattern`)."""
+    regex (:func:`exact_text_pattern`).
+
+    ``ignore_case`` (clg's ``--ignore-case``, r6) prefixes ``(?i)``.
+    Soundness: token classification is case-independent (variables are
+    digit-bearing tokens with [A-Za-z] symmetric in the token class, so
+    case-folding never moves a token boundary or placeholder), leaving
+    only literal letters for ``(?i)`` to fold.  ASCII case folding —
+    query fixtures and CLP logtypes are ASCII; Java applies Unicode
+    folding only under UNICODE_CASE, which we do not enable."""
     parts = query.replace("?", "*").split("*")
     out = []
     for i, part in enumerate(parts):
@@ -78,10 +87,10 @@ def compile_relaxed_pattern(query: str) -> str:
         if i > 0:
             out.append(".*")
         out.append(prefix + re.escape(logtype) + suffix)
-    return "^" + "".join(out) + "$"
+    return ("(?i)" if ignore_case else "") + "^" + "".join(out) + "$"
 
 
-def exact_text_pattern(query: str) -> str:
+def exact_text_pattern(query: str, ignore_case: bool = False) -> str:
     r"""Anchored verify regex for the decoded text: ``*`` → ``.*``,
     ``?`` → ``.`` (exactly one char — here, unlike the prune stages, the
     two wildcards keep their distinct semantics; ``.`` excludes ``\n``
@@ -92,12 +101,23 @@ def exact_text_pattern(query: str) -> str:
     (ADVICE r5).  ``\z`` is strict end-of-text in Java and RE2 alike
     (matching RE2's non-multiline ``$``), so both engines agree.  The
     relaxed LOGTYPE prune pattern keeps ``$`` — over-selection there is
-    harmless (decode-verify follows)."""
+    harmless (decode-verify follows).
+
+    ``ignore_case`` prefixes ``(?i)`` — this stage is exact, so it is
+    what defines the case-insensitive result; the prune stages merely
+    stay supersets of it (see :func:`compile_relaxed_pattern`)."""
     seg = lambda p: "".join("." if c == "?" else re.escape(c) for c in p)
-    return "^" + ".*".join(seg(p) for p in query.split("*")) + "\\z"
+    body = "^" + ".*".join(seg(p) for p in query.split("*")) + "\\z"
+    return ("(?i)" if ignore_case else "") + body
 
 
-def compile_var_predicates(query: str, mode: str = MODE_I64) -> list:
+def compile_var_predicates(
+    query: str,
+    mode: str = MODE_I64,
+    ignore_case: bool = False,
+    var_dictionary: DataFrame | None = None,
+    max_ids: int = 10_000,
+) -> list:
     """CLP-style sub-query enumeration, adapted: per-variable predicates.
 
     CLP proper enumerates every (var|literal) interpretation of each query
@@ -124,6 +144,17 @@ def compile_var_predicates(query: str, mode: str = MODE_I64) -> list:
     a token touching a ``?`` becomes wildcard-adjacent and is dropped
     from the concrete predicates (sound — it might be a fragment of a
     longer data token).
+
+    ``ignore_case`` (r6): int/float tokens and letter-free dictionary
+    tokens (e.g. ``1.2.3``) have no case variants — their exact
+    predicates stay.  A letter-bearing dictionary token's data-side match
+    can be any case variant, still necessarily a dictionary variable
+    (case folding preserves the digit that made it a variable and the
+    letters that ruled out int/float), so with ``var_dictionary``
+    supplied its id set is enumerated with ``(?i)^token$`` — the CLP
+    sub-query compilation against the variable dictionary, empty set →
+    provably no match; over ``max_ids`` or without a dictionary the
+    token's predicate is skipped (sound: decode-verify follows).
     """
     from fluent_bit_clp_spark.functions.clp_pandas import _xxh64_str
 
@@ -142,9 +173,35 @@ def compile_var_predicates(query: str, mode: str = MODE_I64) -> list:
         _, kinds, encs, dicts = _encode_one(core, mode)
         for k, e, d in zip(kinds or [], encs or [], dicts or []):
             if d is not None:
-                preds.append(
-                    F.array_contains("dict_var_ids", F.lit(_xxh64_str(d)))
-                )
+                if ignore_case and _HAS_LETTER.search(d):
+                    if var_dictionary is None:
+                        continue  # no enumeration source — skip, sound
+                    ids = [
+                        r["var_id"]
+                        for r in var_dictionary.where(
+                            F.col("var").rlike(f"(?i)^{re.escape(d)}$")
+                        )
+                        .select("var_id")
+                        .limit(max_ids + 1)
+                        .collect()
+                    ]
+                    if len(ids) > max_ids:
+                        continue
+                    preds.append(
+                        F.arrays_overlap(
+                            F.coalesce(
+                                F.col("dict_var_ids"),
+                                F.array().cast("array<bigint>"),
+                            ),
+                            F.lit(ids).cast("array<bigint>"),
+                        )
+                        if ids
+                        else F.lit(False)
+                    )
+                else:
+                    preds.append(
+                        F.array_contains("dict_var_ids", F.lit(_xxh64_str(d)))
+                    )
             else:
                 preds.append(F.array_contains("encoded_vars", F.lit(e)))
     return preds
@@ -162,6 +219,7 @@ def compile_fragment_var_predicates(
     query: str,
     var_dictionary: DataFrame,
     max_ids: int = 10_000,
+    ignore_case: bool = False,
 ) -> list:
     """CLP-style sub-query enumeration for *wildcard-adjacent fragments*
     (the paper's query compilation against the variable dictionary).
@@ -217,13 +275,14 @@ def compile_fragment_var_predicates(
             frags.append((re.escape(lead.group(0)) + "$", lead.group(0)))
         if trail:
             frags.append(("^" + re.escape(trail.group(0)), trail.group(0)))
+    ci = "(?i)" if ignore_case else ""
     preds = []
     for var_pat, frag in frags:
         if not _dict_only_fragment(frag):
             continue
         ids = [
             r["var_id"]
-            for r in var_dictionary.where(F.col("var").rlike(var_pat))
+            for r in var_dictionary.where(F.col("var").rlike(ci + var_pat))
             .select("var_id")
             .limit(max_ids + 1)
             .collect()
@@ -241,7 +300,7 @@ def compile_fragment_var_predicates(
             if ids
             else F.lit(False)
         )
-        literal = F.col("logtype").rlike(re.escape(frag))
+        literal = F.col("logtype").rlike(ci + re.escape(frag))
         preds.append(literal | in_dict)
     return preds
 
@@ -256,6 +315,7 @@ def search_encoded(
     dictionary: DataFrame | None = None,
     mode: str = MODE_I64,
     var_dictionary: DataFrame | None = None,
+    ignore_case: bool = False,
 ) -> DataFrame:
     """Rows of the encoded table matching ``query``.
 
@@ -268,20 +328,28 @@ def search_encoded(
     ``container-*``) → decode-verify the survivors only (step 3 above).
     ``mode`` must be the mode the table was encoded with (i64 default;
     pass "4byte" for FourByteEncoding tables — both the value predicates
-    and the decode-verify depend on it)."""
-    pattern = compile_relaxed_pattern(query)
+    and the decode-verify depend on it).  ``ignore_case`` (clg's
+    ``--ignore-case``, r6) makes the whole match case-insensitive — every
+    prune stage folds case too (see the compile functions), so pruning
+    power is retained for letter-free values and dictionary-enumerable
+    tokens/fragments."""
+    pattern = compile_relaxed_pattern(query, ignore_case)
     if dictionary is not None:
         ids = F.broadcast(logtype_matches(pattern, dictionary).select("logtype_id"))
         cand = encoded.join(ids, "logtype_id", "left_semi")
     else:
         cand = encoded.where(F.col("logtype").rlike(pattern))
-    for pred in compile_var_predicates(query, mode):
+    for pred in compile_var_predicates(
+        query, mode, ignore_case, var_dictionary
+    ):
         cand = cand.where(pred)
     if var_dictionary is not None:
-        for pred in compile_fragment_var_predicates(query, var_dictionary):
+        for pred in compile_fragment_var_predicates(
+            query, var_dictionary, ignore_case=ignore_case
+        ):
             cand = cand.where(pred)
     verified = cand.withColumn("_decoded", clp_decode_column(mode=mode)).where(
-        F.col("_decoded").rlike(exact_text_pattern(query))
+        F.col("_decoded").rlike(exact_text_pattern(query, ignore_case))
     )
     return verified.drop("_decoded")
 
@@ -375,6 +443,7 @@ def search_stored_archive(
     verify_coverage: bool = False,
     time_range: tuple[int, int] | None = None,
     ts_col: str = "ts_ms",
+    ignore_case: bool = False,
 ) -> DataFrame:
     """Search an ARCHIVE-layout table with SCAN-level template pruning.
 
@@ -415,7 +484,11 @@ def search_stored_archive(
     compacted with ``compact_archive(ts_col=...)`` (time-leading
     clustering) row groups outside the window are skipped on footer
     stats alone; on a time-ordered-ingest archive natural clustering
-    gives the same skip.  Requires ``ts_col`` in the archive columns."""
+    gives the same skip.  Requires ``ts_col`` in the archive columns.
+
+    ``ignore_case`` folds case end-to-end (template prune included —
+    the dictionary rlike carries ``(?i)``, so differently-cased stored
+    templates all enter the isin pushdown); see :func:`search_encoded`."""
     from fluent_bit_clp_spark.operators.archive import from_archive
 
     if time_range is not None:
@@ -458,7 +531,7 @@ def search_stored_archive(
                 "with archive_logtype_dictionary(archive) or extend the "
                 "persisted dictionary at write time"
             )
-    pattern = compile_relaxed_pattern(query)
+    pattern = compile_relaxed_pattern(query, ignore_case)
     matches = archive_dictionary.where(F.col("logtype").rlike(pattern))
     stored = [
         r[0]
@@ -475,5 +548,5 @@ def search_stored_archive(
     else:
         pruned = archive  # over-cap: post-scan filtering, same results
     return search_encoded(
-        from_archive(pruned), query, None, mode, var_dictionary
+        from_archive(pruned), query, None, mode, var_dictionary, ignore_case
     )

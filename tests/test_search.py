@@ -590,3 +590,106 @@ def test_extend_archive_dictionary_cross_run(spark):
     # idempotent: extending with the same archive adds nothing
     again = extend_archive_dictionary(a2, existing=merged)
     assert again.count() == merged.count()
+
+
+def _naive_ci(df, query):
+    pat = "(?i)^" + ".*".join(re.escape(p) for p in query.split("*")) + "$"
+    return df.where(F.col("text").rlike(pat))
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "TASK * started BY user * at ATTEMPT *",   # logtype literals folded
+        "Connection ESTABLISHED successfully",      # no-variable query
+        "get /api/v2/users/* TOOK * MS",            # fragment + literals
+    ],
+)
+def test_ignore_case_matches_naive(spark, encoded, query):
+    """clg --ignore-case analogue (r6): full-stack case-insensitive search
+    (dictionary prune + var predicates + fragment enumeration +
+    decode-verify) equals the naive (?i) regex over raw text.  The
+    queries are deliberately MIS-cased vs the corpus, so case-sensitive
+    search returns nothing while ignore_case recovers every hit."""
+    from fluent_bit_clp_spark.functions.clp_native import (
+        logtype_dictionary,
+        var_dictionary,
+    )
+
+    d, vd = logtype_dictionary(encoded), var_dictionary(encoded)
+    got = search_encoded(
+        encoded, query, dictionary=d, var_dictionary=vd, ignore_case=True
+    ).select("conv_id", "turn_idx")
+    want = _naive_ci(encoded, query).select("conv_id", "turn_idx")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert want.count() > 0  # the mis-cased query actually exercises data
+    # sanity: case-sensitive search over the same mis-cased query is empty
+    assert search_encoded(encoded, query, dictionary=d).count() == 0
+
+
+def test_ignore_case_dict_token_enumerates_variants(spark):
+    """A letter-bearing dictionary token under ignore_case matches every
+    case variant in the data via the (?i) variable-dictionary
+    enumeration; letter-free tokens keep their exact predicates."""
+    from fluent_bit_clp_spark.functions.clp_native import (
+        clp_encode,
+        var_dictionary,
+    )
+    from fluent_bit_clp_spark.operators.search import compile_var_predicates
+
+    rows = [
+        (0, "worker JOB42 finished in 7 ms"),
+        (1, "worker job42 finished in 7 ms"),
+        (2, "worker Job42 finished in 7 ms"),
+        (3, "worker job43 finished in 7 ms"),
+        (4, "manager job42 finished in 7 ms"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    enc = clp_encode(df).cache()
+    try:
+        vd = var_dictionary(enc)
+        q = "worker job42 finished in 7 ms"
+        got = sorted(
+            r.id
+            for r in search_encoded(
+                enc, q, var_dictionary=vd, ignore_case=True
+            ).collect()
+        )
+        assert got == [0, 1, 2]
+        # case-sensitive: exact row only
+        assert sorted(
+            r.id for r in search_encoded(enc, q, var_dictionary=vd).collect()
+        ) == [1]
+        # the enumeration still yields a real prune predicate (job42 id
+        # set + exact int 7) — not a silent drop of all variable pruning
+        preds = compile_var_predicates(
+            q, ignore_case=True, var_dictionary=vd
+        )
+        assert len(preds) == 2
+        # without a var_dictionary the letter-bearing token is skipped
+        # (sound) but the letter-free int predicate survives
+        assert len(compile_var_predicates(q, ignore_case=True)) == 1
+    finally:
+        enc.unpersist()
+
+
+def test_ignore_case_stored_archive(spark, encoded):
+    """ignore_case flows through the stored-archive path: the (?i)
+    template prune admits differently-cased stored templates and the
+    final result equals the naive (?i) regex."""
+    from fluent_bit_clp_spark.operators.archive import to_archive
+    from fluent_bit_clp_spark.operators.search import (
+        archive_logtype_dictionary,
+        search_stored_archive,
+    )
+
+    arch = to_archive(encoded)
+    q = "CONNECTION established SUCCESSFULLY"
+    got = search_stored_archive(
+        arch, q, archive_logtype_dictionary(arch), ignore_case=True
+    ).select("conv_id", "turn_idx")
+    want = _naive_ci(encoded, q).select("conv_id", "turn_idx")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert want.count() > 0
