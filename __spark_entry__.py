@@ -911,6 +911,39 @@ def q_e1_search_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_count_by_time(hits, bucket_ms=86_400_000)
 
 
+# saved-searches set for the one-scan multi-query surface (r6); names
+# are the dashboard panels, values the wildcard queries
+_MULTI_QUERIES = {
+    "conn_reset": "Retrying container-* after *s: connection reset by peer",
+    "api_latency": "GET /api/v2/users/* took * ms",
+    "tasks": "Task * started by user * at attempt *",
+}
+
+
+def q_e1_search_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query search (r6, search_encoded_multi): three saved
+    searches share ONE scan + ONE decode pass; the oracle recomputes each
+    query independently with its anchored regex and unions the results —
+    proof the shared-scan attribution is row-for-row identical to running
+    the queries alone."""
+    from fluent_bit_clp_spark.functions.clp_native import (
+        logtype_dictionary,
+        var_dictionary,
+    )
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+    from fluent_bit_clp_spark.operators.search import search_encoded_multi
+
+    enc = clp_encode_pandas(
+        transcripts(spark, 2000).select("conv_id", "turn_idx", "text")
+    )
+    return search_encoded_multi(
+        enc,
+        _MULTI_QUERIES,
+        dictionary=logtype_dictionary(enc),
+        var_dictionary=var_dictionary(enc),
+    ).select("conv_id", "turn_idx", "query_name")
+
+
 # deliberately MIS-cased vs the corpus (clg --ignore-case analogue, r6):
 # 'GET' stays literal in the logtype, '/api/v2/users/' is a wildcard-
 # adjacent dictionary fragment (digit-bearing) enumerated with (?i)
@@ -1933,6 +1966,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_grok_apache": q_p_grok_apache,
         "e1_search_count_by_time": q_e1_search_count_by_time,
         "e1_search_ignore_case": q_e1_search_ignore_case,
+        "e1_search_multi": q_e1_search_multi,
     }
 
 
@@ -1956,6 +1990,14 @@ def extra_oracle_sql() -> dict[str, str]:
             "where text is not null and regexp_matches(text, "
             f"'{exact_text_pattern(_ARCHIVE_SEARCH_QUERY).replace(chr(39), chr(39) * 2)}') "
             "group by 1"
+        ),
+        # one-scan multi-query search vs per-query recompute (union all)
+        "e1_search_multi": " union all ".join(
+            f"select conv_id, turn_idx, '{name}' as query_name from "
+            f"read_parquet('{_TRANSCRIPTS_FIXTURE}/*.parquet') "
+            "where text is not null and regexp_matches(text, "
+            f"'{exact_text_pattern(q).replace(chr(39), chr(39) * 2)}')"
+            for name, q in _MULTI_QUERIES.items()
         ),
         # (?i) is ASCII-folded identically by Java regex and DuckDB/RE2
         # for ASCII queries like this one (the documented contract —

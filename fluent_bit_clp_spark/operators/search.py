@@ -354,6 +354,83 @@ def search_encoded(
     return verified.drop("_decoded")
 
 
+def search_encoded_multi(
+    encoded: DataFrame,
+    queries: dict[str, str],
+    dictionary: DataFrame | None = None,
+    mode: str = MODE_I64,
+    var_dictionary: DataFrame | None = None,
+    ignore_case: bool = False,
+) -> DataFrame:
+    """Run MANY wildcard queries in ONE pass — the saved-searches /
+    dashboard shape.  ``queries`` maps a query name to its wildcard
+    string; the result is the matching rows with a ``query_name`` column
+    (a row matching k queries appears k times).
+
+    Scale rationale: N separate :func:`search_encoded` calls cost N scans
+    and up to N decodes of overlapping candidate sets.  Here the scan is
+    pruned ONCE with the union of the per-query prunes (dictionary ids
+    unioned into one broadcast semi-join, or the OR of the per-query
+    logtype-pattern+variable predicates), the survivors are decoded
+    ONCE, and per-query attribution is a vectorized array construction
+    over the decoded column — per-query exact verify plus that query's
+    own prune predicates re-applied, so results are row-for-row identical
+    to running each query alone.  At 100 TB the scan dominates; this
+    amortizes it across the whole dashboard.
+    """
+    if not queries:
+        raise ValueError("queries must be a non-empty {name: wildcard} map")
+    per_query: dict[str, object] = {}
+    patterns: dict[str, str] = {}
+    for name, q in queries.items():
+        patterns[name] = compile_relaxed_pattern(q, ignore_case)
+        preds = compile_var_predicates(q, mode, ignore_case, var_dictionary)
+        if var_dictionary is not None:
+            preds += compile_fragment_var_predicates(
+                q, var_dictionary, ignore_case=ignore_case
+            )
+        prune = F.col("logtype").rlike(patterns[name])
+        for p in preds:
+            prune = prune & p
+        per_query[name] = prune
+    if dictionary is not None:
+        # one broadcast semi-join on the UNION of every query's matching
+        # template ids (distinct — a template wanted by several queries
+        # enters once); per-query attribution below re-checks the
+        # pattern, so the union never cross-contaminates
+        ids = None
+        for name in queries:
+            m = logtype_matches(patterns[name], dictionary).select("logtype_id")
+            ids = m if ids is None else ids.unionByName(m)
+        cand = encoded.join(
+            F.broadcast(ids.distinct()), "logtype_id", "left_semi"
+        )
+    else:
+        combined = None
+        for prune in per_query.values():
+            combined = prune if combined is None else (combined | prune)
+        cand = encoded.where(combined)
+    decoded = cand.withColumn("_decoded", clp_decode_column(mode=mode))
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    per_query[name]
+                    & F.col("_decoded").rlike(
+                        exact_text_pattern(queries[name], ignore_case)
+                    ),
+                    F.lit(name),
+                )
+                for name in queries
+            ]
+        )
+    )
+    return (
+        decoded.withColumn("query_name", F.explode(tags))
+        .drop("_decoded")
+    )
+
+
 def search_count_by_time(
     hits: DataFrame, bucket_ms: int = 3_600_000, ts_col: str = "ts_ms"
 ) -> DataFrame:

@@ -693,3 +693,61 @@ def test_ignore_case_stored_archive(spark, encoded):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert want.count() > 0
+
+
+def test_multi_query_search_equals_per_query(spark, encoded):
+    """search_encoded_multi (r6, one-scan dashboard shape) is row-for-row
+    identical to running each query through search_encoded alone, with
+    multi-match rows attributed once per matching query."""
+    from fluent_bit_clp_spark.functions.clp_native import (
+        logtype_dictionary,
+        var_dictionary,
+    )
+    from fluent_bit_clp_spark.operators.search import search_encoded_multi
+
+    queries = {
+        "tasks": "Task * started by user * at attempt *",
+        "conn_reset": "Retrying container-* after *s: connection reset by peer",
+        "api": "GET /api/v2/users/* took * ms",
+        "nohit": "zz-never-matches-anything-qq",
+    }
+    d, vd = logtype_dictionary(encoded), var_dictionary(encoded)
+    got = search_encoded_multi(
+        encoded, queries, dictionary=d, var_dictionary=vd
+    ).select("conv_id", "turn_idx", "query_name")
+    for name, q in queries.items():
+        alone = (
+            search_encoded(encoded, q, dictionary=d, var_dictionary=vd)
+            .select("conv_id", "turn_idx")
+            .withColumn("query_name", F.lit(name))
+        )
+        sub = got.where(F.col("query_name") == name)
+        assert sub.exceptAll(alone).count() == 0
+        assert alone.exceptAll(sub).count() == 0
+    assert got.where(F.col("query_name") == "nohit").count() == 0
+    assert got.count() > 0
+
+
+def test_multi_query_attributes_overlapping_matches(spark):
+    """A row matching several queries appears once per query; rows
+    matching none are absent (explode of the empty tag array)."""
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.search import search_encoded_multi
+
+    df = spark.createDataFrame(
+        [(0, "job 42 done fast"), (1, "job 43 done fast"), (2, "idle")],
+        "id int, text string",
+    )
+    out = search_encoded_multi(
+        clp_encode(df),
+        {"any_job": "job * done *", "j42": "job 42 *", "none": "halt *"},
+    )
+    got = sorted((r.id, r.query_name) for r in out.collect())
+    assert got == [(0, "any_job"), (0, "j42"), (1, "any_job")]
+
+
+def test_multi_query_empty_map_raises(spark, encoded):
+    from fluent_bit_clp_spark.operators.search import search_encoded_multi
+
+    with pytest.raises(ValueError, match="non-empty"):
+        search_encoded_multi(encoded, {})
