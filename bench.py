@@ -301,6 +301,39 @@ def _ops_bench(spark, df, enc_path: str, tmp: str) -> dict:
         "vardict_prune_ratio": round(n_vd / max(n_rows, 1), 6),
     }
 
+    # --- multi-query: the one-scan saved-searches surface (r6) vs
+    # running the same dashboard as separate searches.  The win is scan
+    # amortization — at 100 TB the fact-table scan dominates, so N
+    # queries ≈ 1× scan instead of N× (here the table is cached-size
+    # small, so the measured gap under-states the at-scale win; the
+    # honest transfer number is the scan count, 1 vs N).
+    from fluent_bit_clp_spark.operators.search import search_encoded_multi
+
+    dash = {
+        "conn_reset": SEARCH_QUERY,
+        "tasks": "Task * started by user * at attempt *",
+        "api": "GET /api/v2/users/* took * ms",
+        "uploads": "Uploaded chunk * of * to *",
+        "established": "connection established successfully",
+    }
+    out["search_multi"] = {
+        "queries": len(dash),
+        "rows": n_rows,
+        "multi_one_scan_sec": _min_time(
+            lambda: search_encoded_multi(
+                enc, dash, dictionary=ld, var_dictionary=vd
+            ).count()
+        ),
+        "per_query_sum_sec": _min_time(
+            lambda: [
+                search_encoded(
+                    enc, q, dictionary=ld, var_dictionary=vd
+                ).count()
+                for q in dash.values()
+            ]
+        ),
+    }
+
     # --- archive: the columnar storage layout (kind-typed placeholders,
     # derivable columns dropped — operators/archive.py) vs the working
     # encode layout vs raw text, all parquet+zstd so the codec is held
