@@ -568,6 +568,32 @@ def search_stored_archive(
     templates all enter the isin pushdown); see :func:`search_encoded`."""
     from fluent_bit_clp_spark.operators.archive import from_archive
 
+    pruned = _pruned_archive(
+        archive,
+        [compile_relaxed_pattern(query, ignore_case)],
+        archive_dictionary,
+        max_templates,
+        verify_coverage,
+        time_range,
+        ts_col,
+    )
+    return search_encoded(
+        from_archive(pruned), query, None, mode, var_dictionary, ignore_case
+    )
+
+
+def _pruned_archive(
+    archive: DataFrame,
+    patterns: list[str],
+    archive_dictionary: DataFrame,
+    max_templates: int,
+    verify_coverage: bool,
+    time_range: tuple[int, int] | None,
+    ts_col: str,
+) -> DataFrame:
+    """Shared stored-archive prune: guards + the template-isin scan
+    pushdown for any template matching ANY of ``patterns`` (single-query
+    callers pass one)."""
     if time_range is not None:
         if ts_col not in archive.columns:
             raise ValueError(
@@ -608,22 +634,66 @@ def search_stored_archive(
                 "with archive_logtype_dictionary(archive) or extend the "
                 "persisted dictionary at write time"
             )
-    pattern = compile_relaxed_pattern(query, ignore_case)
-    matches = archive_dictionary.where(F.col("logtype").rlike(pattern))
+    wanted = None
+    for p in patterns:
+        m = F.col("logtype").rlike(p)
+        wanted = m if wanted is None else (wanted | m)
+    matches = archive_dictionary.where(wanted)
     stored = [
         r[0]
-        for r in matches.select("logtype_stored").limit(max_templates + 1).collect()
+        for r in matches.select("logtype_stored")
+        .distinct()
+        .limit(max_templates + 1)
+        .collect()
     ]
     if not stored:
         # the dictionary covers this archive (built from it, or
         # maintained alongside the writes — the documented contract), so
         # zero template matches PROVES zero hits: return the empty frame
         # without scanning (limit(0) folds to a LocalTableScan)
-        pruned = archive.limit(0)
-    elif len(stored) <= max_templates:
-        pruned = archive.where(F.col("logtype").isin(stored))
-    else:
-        pruned = archive  # over-cap: post-scan filtering, same results
-    return search_encoded(
-        from_archive(pruned), query, None, mode, var_dictionary, ignore_case
+        return archive.limit(0)
+    if len(stored) <= max_templates:
+        return archive.where(F.col("logtype").isin(stored))
+    return archive  # over-cap: post-scan filtering, same results
+
+
+def search_stored_archive_multi(
+    archive: DataFrame,
+    queries: dict[str, str],
+    archive_dictionary: DataFrame,
+    mode: str = MODE_I64,
+    var_dictionary: DataFrame | None = None,
+    max_templates: int = 1024,
+    verify_coverage: bool = False,
+    time_range: tuple[int, int] | None = None,
+    ts_col: str = "ts_ms",
+    ignore_case: bool = False,
+) -> DataFrame:
+    """The saved-searches dashboard over a STORED archive: one scan,
+    pruned at scan level to the union of every query's matching templates
+    (one ``isin`` pushdown — row groups outside ALL queries are skipped
+    on footer stats), decoded once, attributed per query by
+    :func:`search_encoded_multi`.  Semantics and guards are exactly
+    :func:`search_stored_archive` per query; output carries
+    ``query_name`` like :func:`search_encoded_multi`."""
+    from fluent_bit_clp_spark.operators.archive import from_archive
+
+    if not queries:
+        raise ValueError("queries must be a non-empty {name: wildcard} map")
+    pruned = _pruned_archive(
+        archive,
+        [compile_relaxed_pattern(q, ignore_case) for q in queries.values()],
+        archive_dictionary,
+        max_templates,
+        verify_coverage,
+        time_range,
+        ts_col,
+    )
+    return search_encoded_multi(
+        from_archive(pruned),
+        queries,
+        None,
+        mode,
+        var_dictionary,
+        ignore_case,
     )

@@ -751,3 +751,36 @@ def test_multi_query_empty_map_raises(spark, encoded):
 
     with pytest.raises(ValueError, match="non-empty"):
         search_encoded_multi(encoded, {})
+
+
+def test_multi_query_stored_archive(spark, encoded):
+    """Dashboard over a stored archive: one union-isin scan prune, then
+    per-query results identical to single-query search_stored_archive."""
+    from fluent_bit_clp_spark.operators.archive import to_archive
+    from fluent_bit_clp_spark.operators.search import (
+        archive_logtype_dictionary,
+        search_stored_archive,
+        search_stored_archive_multi,
+    )
+
+    arch = to_archive(encoded)
+    ad = archive_logtype_dictionary(arch)
+    queries = {
+        "tasks": "Task * started by user * at attempt *",
+        "established": "connection established successfully",
+        "nohit": "zz-never-matches-anything-qq",
+    }
+    got = search_stored_archive_multi(arch, queries, ad).select(
+        "conv_id", "turn_idx", "query_name"
+    )
+    for name, q in queries.items():
+        alone = (
+            search_stored_archive(arch, q, ad)
+            .select("conv_id", "turn_idx")
+            .withColumn("query_name", F.lit(name))
+        )
+        sub = got.where(F.col("query_name") == name)
+        assert sub.exceptAll(alone).count() == 0
+        assert alone.exceptAll(sub).count() == 0
+    assert got.count() > 0
+    assert got.where(F.col("query_name") == "nohit").count() == 0
