@@ -13,7 +13,8 @@ keys (row order inside stored sink files is storage-internal).
 
     spark-submit --py-files fluent_bit_clp_spark.zip jobs/extract_text.py \
         --input <sink-root> --output <text-root> --run-id run-2026-08-16 \
-        [--sink tools.sh] [--time-range lo_ms hi_ms]
+        [--sink tools.sh] [--time-range lo_ms hi_ms] \
+        [--query 'job * done' [--ignore-case]]
 
 Scale shape: one column-pruned scan of the selected sinks (+ the lazy
 archive reconstruction when stored as archive — Catalyst prunes it into
@@ -40,12 +41,24 @@ def extract(
     run_id: str = "run-0",
     sink: str | None = None,
     time_range: tuple[int, int] | None = None,
+    query: str | None = None,
+    ignore_case: bool = False,
 ) -> dict:
     """The extraction itself — factored out of main() so tests drive it
-    against their own SparkSession (main() owns session lifecycle)."""
+    against their own SparkSession (main() owns session lifecycle).
+
+    ``query`` (r6) extracts only the rows matching a CLP wildcard query
+    (``*``/``?``; ``ignore_case`` for clg's ``--ignore-case``) — the
+    ``clg``-then-extract workflow in one job: the logtype prune and
+    variable predicates run on the encoded columns before any decode, so
+    a selective query decodes only its candidates.  (For scan-level
+    template pushdown on an archive-layout run, search with
+    search_stored_archive and extract by its keys; here the filter
+    applies to the reconstructed view — one pass either way.)"""
     from pyspark.sql import functions as F
 
     from fluent_bit_clp_spark.functions.clp_pandas import clp_decode_pandas
+    from fluent_bit_clp_spark.operators.search import search_encoded
     from fluent_bit_clp_spark.plans.pipeline import load_sinks
 
     df = load_sinks(spark, input_root, run_id)
@@ -59,6 +72,8 @@ def extract(
     if time_range is not None:
         lo, hi = time_range
         df = df.where(F.col("ts_ms").between(F.lit(lo), F.lit(hi)))
+    if query is not None:
+        df = search_encoded(df, query, ignore_case=ignore_case)
     total = df.count()
     dec = clp_decode_pandas(df).select(
         "sink", "conv_id", "turn_idx", "decoded_text"
@@ -92,6 +107,14 @@ def main() -> None:
         metavar=("LO_MS", "HI_MS"),
         help="inclusive ts_ms window; pushed into the scan",
     )
+    ap.add_argument(
+        "--query", default=None,
+        help="CLP wildcard query (*/?); extract matching rows only",
+    )
+    ap.add_argument(
+        "--ignore-case", action="store_true",
+        help="case-insensitive --query (clg --ignore-case)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -104,6 +127,8 @@ def main() -> None:
         args.run_id,
         sink=args.sink,
         time_range=tuple(args.time_range) if args.time_range else None,
+        query=args.query,
+        ignore_case=args.ignore_case,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -72,3 +72,42 @@ def test_extract_time_range(spark, tmp_path):
                       time_range=(lo, int(mid)))
     want = enc.where(F.col("ts_ms").between(lo, int(mid))).count()
     assert summary["rows_written"] == want > 0
+
+
+@pytest.mark.parametrize("layout", ["working", "archive"])
+def test_extract_with_query(spark, tmp_path, layout):
+    """--query (r6): the clg-then-extract workflow — only rows matching
+    the wildcard query are decoded and written, for both layouts, equal
+    to the naive regex over the input texts."""
+    import re
+
+    from extract_text import extract
+
+    df = transcripts(spark, 300, with_edge_rows=False)
+    root = str(tmp_path / f"run_q_{layout}")
+    run_to_sinks(spark, df, root, "run-x", cfg=JobConfig(sink_layout=layout))
+    out = str(tmp_path / f"txt_q_{layout}")
+    q = "Task * started by user * at attempt *"
+    summary = extract(spark, root, out, "run-x", query=q)
+    pat = "^" + ".*".join(re.escape(p) for p in q.split("*")) + "$"
+    want = sorted(
+        r.text
+        for r in df.where(F.col("text").rlike(pat)).select("text").collect()
+    )
+    assert summary["rows_written"] == len(want) > 0
+    lines = []
+    for f in glob.glob(os.path.join(out, "text", "sink=*", "part-*.txt")):
+        with open(f) as fh:
+            lines.extend(ln.rstrip("\n") for ln in fh)
+    assert sorted(lines) == want
+    # mis-cased query: nothing without ignore_case, everything with it
+    out2 = str(tmp_path / f"txt_qi_{layout}")
+    s2 = extract(
+        spark, root, out2, "run-x", query=q.upper(), ignore_case=True
+    )
+    assert s2["rows_written"] == len(want)
+    s3 = extract(
+        spark, root, str(tmp_path / f"txt_q0_{layout}"), "run-x",
+        query=q.upper(),
+    )
+    assert s3["rows_written"] == 0
