@@ -944,6 +944,23 @@ def q_e1_search_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "query_name")
 
 
+def q_e1_search_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-line search (r6, search_with_context — grep -C / the log
+    viewer's context view): hits plus rows within 2 before / 1 after by
+    turn_idx in the same conversation, is_match flagging exact hits.  The
+    oracle recomputes hits with the anchored regex and expands them with
+    an EXISTS range probe over the committed fixture."""
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+    from fluent_bit_clp_spark.operators.search import search_with_context
+
+    enc = clp_encode_pandas(
+        transcripts(spark, 2000).select("conv_id", "turn_idx", "text")
+    )
+    return search_with_context(
+        enc, _MULTI_QUERIES["conn_reset"], n_before=2, n_after=1
+    ).select("conv_id", "turn_idx", "is_match")
+
+
 # deliberately MIS-cased vs the corpus (clg --ignore-case analogue, r6):
 # 'GET' stays literal in the logtype, '/api/v2/users/' is a wildcard-
 # adjacent dictionary fragment (digit-bearing) enumerated with (?i)
@@ -1967,6 +1984,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_search_count_by_time": q_e1_search_count_by_time,
         "e1_search_ignore_case": q_e1_search_ignore_case,
         "e1_search_multi": q_e1_search_multi,
+        "e1_search_context": q_e1_search_context,
     }
 
 
@@ -1998,6 +2016,19 @@ def extra_oracle_sql() -> dict[str, str]:
             "where text is not null and regexp_matches(text, "
             f"'{exact_text_pattern(q).replace(chr(39), chr(39) * 2)}')"
             for name, q in _MULTI_QUERIES.items()
+        ),
+        # context lines: hits expanded +-N by an EXISTS range probe
+        "e1_search_context": (
+            f"with t as (select conv_id, turn_idx, text from "
+            f"read_parquet('{_TRANSCRIPTS_FIXTURE}/*.parquet')), "
+            "h as (select conv_id, turn_idx from t where text is not null "
+            "and regexp_matches(text, "
+            f"'{exact_text_pattern(_MULTI_QUERIES['conn_reset']).replace(chr(39), chr(39) * 2)}')) "
+            "select t.conv_id, t.turn_idx, exists(select 1 from h "
+            "where h.conv_id = t.conv_id and h.turn_idx = t.turn_idx) "
+            "as is_match from t where exists(select 1 from h "
+            "where h.conv_id = t.conv_id "
+            "and t.turn_idx between h.turn_idx - 2 and h.turn_idx + 1)"
         ),
         # (?i) is ASCII-folded identically by Java regex and DuckDB/RE2
         # for ASCII queries like this one (the documented contract —

@@ -431,6 +431,65 @@ def search_encoded_multi(
     )
 
 
+def search_with_context(
+    encoded: DataFrame,
+    query: str,
+    n_before: int = 2,
+    n_after: int = 2,
+    key_cols: tuple[str, ...] = ("conv_id",),
+    order_col: str = "turn_idx",
+    dictionary: DataFrame | None = None,
+    mode: str = MODE_I64,
+    var_dictionary: DataFrame | None = None,
+    ignore_case: bool = False,
+    broadcast_hits: bool = True,
+) -> DataFrame:
+    """Search hits WITH their surrounding rows — ``grep -C`` / the log
+    viewer's context view.  Returns every row within ``n_before``/
+    ``n_after`` positions (by ``order_col``, within the same
+    ``key_cols`` group) of a matching row, plus an ``is_match`` flag
+    distinguishing hits from context.
+
+    Scale shape: the hit set of a selective query is tiny next to the
+    table, so the hit positions (key + an inclusive [lo, hi] window
+    around each hit) are broadcast and the fact table is probed in ONE
+    scan with a broadcast semi-join — equality on ``key_cols`` carries
+    the hash join, the range lands as its join condition, and no row of
+    the fact table shuffles.  ``is_match`` rides the same scan as a
+    second broadcast (hits keyed exactly).  For a NON-selective query
+    set ``broadcast_hits=False``: the semi-join falls back to a
+    key-hashed shuffle join (one wide exchange) — same results.
+
+    ``order_col`` must be integral and unique per row within its key
+    group (the pipeline's (conv_id, turn_idx) contract); gaps are fine —
+    context is by position value, not row count, matching time/sequence
+    semantics rather than file-line semantics."""
+    if n_before < 0 or n_after < 0:
+        raise ValueError("n_before/n_after must be >= 0")
+    keys = list(key_cols)
+    hits = search_encoded(
+        encoded, query, dictionary, mode, var_dictionary, ignore_case
+    ).select(*keys, order_col)
+    # span keys renamed (_ctx_*) — hits share lineage with ``encoded``,
+    # and a self-join on same-named attribute refs would be ambiguous
+    spans = hits.select(
+        *[F.col(k).alias(f"_ctx_{k}") for k in keys],
+        (F.col(order_col) - F.lit(n_before)).alias("_ctx_lo"),
+        (F.col(order_col) + F.lit(n_after)).alias("_ctx_hi"),
+    )
+    exact = hits.withColumn("_ctx_hit", F.lit(True))
+    if broadcast_hits:
+        spans, exact = F.broadcast(spans), F.broadcast(exact)
+    cond = F.col(order_col).between(F.col("_ctx_lo"), F.col("_ctx_hi"))
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_ctx_{k}"))
+    ctx = encoded.join(spans, cond, "left_semi")
+    out = ctx.join(exact, [*keys, order_col], "left")
+    return out.withColumn(
+        "is_match", F.coalesce(F.col("_ctx_hit"), F.lit(False))
+    ).drop("_ctx_hit")
+
+
 def search_count_by_time(
     hits: DataFrame, bucket_ms: int = 3_600_000, ts_col: str = "ts_ms"
 ) -> DataFrame:

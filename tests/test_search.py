@@ -784,3 +784,76 @@ def test_multi_query_stored_archive(spark, encoded):
         assert alone.exceptAll(sub).count() == 0
     assert got.count() > 0
     assert got.where(F.col("query_name") == "nohit").count() == 0
+
+
+def test_search_with_context_handcrafted(spark):
+    """grep -C semantics: rows within n_before/n_after POSITIONS of a hit
+    (same key group), is_match flags exact hits, gaps respected (context
+    is by order-value distance, not row count)."""
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.search import search_with_context
+
+    rows = [
+        ("a", 0, "boot ok"),
+        ("a", 1, "job 42 failed"),   # hit
+        ("a", 2, "retrying"),
+        ("a", 3, "idle"),
+        ("a", 10, "job 42 failed"),  # hit — gap: 9..11 covers nothing else
+        ("b", 1, "job 42 failed"),   # hit in another conv
+        ("b", 2, "ctx row"),
+        ("c", 5, "unrelated"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = search_with_context(
+        clp_encode(df), "job 42 failed", n_before=1, n_after=1
+    )
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.is_match) for r in out.collect()
+    )
+    assert got == [
+        ("a", 0, False), ("a", 1, True), ("a", 2, False),
+        ("a", 10, True),
+        ("b", 1, True), ("b", 2, False),
+    ]
+    # n=0: hits only
+    only = search_with_context(
+        clp_encode(df), "job 42 failed", n_before=0, n_after=0
+    )
+    assert sorted((r.conv_id, r.turn_idx) for r in only.collect()) == [
+        ("a", 1), ("a", 10), ("b", 1)
+    ]
+
+
+@pytest.mark.parametrize("broadcast_hits", [True, False])
+def test_search_with_context_matches_reference(spark, encoded, broadcast_hits):
+    """Context retrieval over the transcripts corpus equals an
+    independently computed reference (regex hits -> positional expansion
+    in plain Python), for both join strategies."""
+    from fluent_bit_clp_spark.operators.search import search_with_context
+
+    q = "Retrying container-* after *s: connection reset by peer"
+    nb, na = 2, 1
+    out = search_with_context(
+        encoded, q, n_before=nb, n_after=na, broadcast_hits=broadcast_hits
+    )
+    got = sorted((r.conv_id, r.turn_idx, r.is_match) for r in out.collect())
+
+    import re as _re
+
+    decoded = [
+        (r.conv_id, r.turn_idx, r.text)
+        for r in encoded.select("conv_id", "turn_idx", "text").collect()
+    ]
+    pat = _re.compile(
+        "^" + ".*".join(_re.escape(p) for p in q.split("*")) + r"\Z"
+    )
+    hits = {(c, i) for c, i, t in decoded if t is not None and pat.match(t)}
+    assert hits  # query exercises data
+    want = sorted(
+        (c, i, (c, i) in hits)
+        for c, i, _ in decoded
+        if any(
+            (c, j) in hits for j in range(i - na, i + nb + 1)
+        )
+    )
+    assert got == want
