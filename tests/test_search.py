@@ -857,3 +857,51 @@ def test_search_with_context_matches_reference(spark, encoded, broadcast_hits):
         )
     )
     assert got == want
+
+
+def test_multi_query_single_scan_plan(spark, tmp_path):
+    """Scale pin: search_encoded_multi reads the encoded fact table
+    EXACTLY ONCE however many queries run (the whole point vs N
+    single-query scans)."""
+    import re as _re
+
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.search import search_encoded_multi
+
+    rows = [(i, f"job {i} done fast") for i in range(100)]
+    p = str(tmp_path / "enc_multi")
+    clp_encode(
+        spark.createDataFrame(rows, "id int, text string")
+    ).write.parquet(p)
+    enc = spark.read.parquet(p)
+    out = search_encoded_multi(
+        enc,
+        {"a": "job 1 *", "b": "job 2 *", "c": "job * done fast"},
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = len(_re.findall(r"Scan parquet", plan))
+    assert scans == 1, plan[:1500]
+
+
+def test_context_search_probe_plan(spark, tmp_path):
+    """Scale pin: the context probe joins the fact table against the
+    BROADCAST hit spans (no fact-side exchange); broadcast_hits=False
+    may shuffle — results already pinned equal elsewhere."""
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.search import search_with_context
+
+    rows = [("c", i, f"job {i} done") for i in range(50)]
+    p = str(tmp_path / "enc_ctx")
+    clp_encode(
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    ).write.parquet(p)
+    enc = spark.read.parquet(p)
+    out = search_with_context(enc, "job 7 done", key_cols=("conv_id",))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    # the semi probe must not hash-exchange the fact side
+    assert "Exchange hashpartitioning" not in plan.split("LeftSemi")[0], (
+        plan[:1500]
+    )
