@@ -415,6 +415,70 @@ def load_archive_dictionary(
     return spark.read.parquet(os.path.join(out_dir, ARCHIVE_DICT_DIR))
 
 
+def search_run(
+    spark: SparkSession,
+    out_dir: str,
+    query: str | dict[str, str],
+    run_id: str = "run-0",
+    sink: str | None = None,
+    time_range: tuple[int, int] | None = None,
+    ignore_case: bool = False,
+) -> DataFrame:
+    """Search a COMMITTED run in one call — the ``clg <archives> query``
+    UX: layout comes from the data marker, the prune dictionaries are the
+    run's PERSISTED ones (written by phase 3 / extended cross-run for
+    archives), nothing is recomputed per search session.
+
+    ``query`` is a CLP wildcard string, or a ``{name: wildcard}`` dict
+    for the one-scan multi-query path (result carries ``query_name``).
+    Archive-layout runs get scan-level template pruning
+    (:func:`operators.search.search_stored_archive`); working-layout
+    runs get the broadcast dictionary semi-join
+    (:func:`operators.search.search_encoded`).  ``sink``/``time_range``
+    bound the scan first (both land in the parquet scan's pushed
+    filters; on a time-clustered archive the window skips row groups on
+    footer stats)."""
+    from fluent_bit_clp_spark.operators.search import (
+        search_encoded,
+        search_encoded_multi,
+        search_stored_archive,
+        search_stored_archive_multi,
+    )
+
+    marker = lineage.read_data_marker(out_dir, run_id)
+    mode = marker.get("encoding_mode", "i64")
+    tbl = spark.read.parquet(os.path.join(out_dir, "sinks"))
+    if sink is not None:
+        tbl = tbl.where(F.col("sink") == sink)
+    vd = spark.read.parquet(os.path.join(out_dir, "var_dict"))
+    multi = isinstance(query, dict)
+    if marker.get("sink_layout", "working") == "archive":
+        adict = spark.read.parquet(os.path.join(out_dir, ARCHIVE_DICT_DIR))
+        fn = search_stored_archive_multi if multi else search_stored_archive
+        return fn(
+            tbl,
+            query,
+            adict,
+            mode=mode,
+            var_dictionary=vd,
+            time_range=time_range,
+            ignore_case=ignore_case,
+        )
+    if time_range is not None:
+        lo, hi = time_range
+        tbl = tbl.where(F.col("ts_ms").between(F.lit(lo), F.lit(hi)))
+    ld = spark.read.parquet(os.path.join(out_dir, "logtype_dict"))
+    fn = search_encoded_multi if multi else search_encoded
+    return fn(
+        tbl,
+        query,
+        dictionary=ld,
+        mode=mode,
+        var_dictionary=vd,
+        ignore_case=ignore_case,
+    )
+
+
 def load_sinks(
     spark: SparkSession, out_dir: str, run_id: str = "run-0"
 ) -> DataFrame:

@@ -549,3 +549,66 @@ def test_archive_sink_layout_end_to_end(spark, tmp_path, tiny):
         map(tuple, load_archive_dictionary(spark, out_a, "run-l").collect())
     )
     assert after == before
+
+
+@pytest.mark.parametrize("layout", ["working", "archive"])
+def test_search_run_one_call(spark, tmp_path, layout):
+    """search_run (r6): the clg-over-a-committed-run UX — layout from the
+    marker, PERSISTED dictionaries (no per-session recompute), equal to
+    the naive regex over the input texts; dict query → multi path with
+    query_name; time_range bounds results."""
+    import re
+
+    from fluent_bit_clp_spark.plans.pipeline import run_to_sinks, search_run
+    from fluent_bit_clp_spark.sources.tables import JobConfig
+
+    df = transcripts(spark, 300, with_edge_rows=False)
+    root = str(tmp_path / f"srun_{layout}")
+    run_to_sinks(spark, df, root, "run-s", cfg=JobConfig(sink_layout=layout))
+
+    q = "Task * started by user * at attempt *"
+    pat = "^" + ".*".join(re.escape(p) for p in q.split("*")) + "$"
+    want = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in df.where(F.col("text").rlike(pat))
+        .select("conv_id", "turn_idx")
+        .collect()
+    )
+    assert want
+    got = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in search_run(spark, root, q, "run-s")
+        .select("conv_id", "turn_idx")
+        .collect()
+    )
+    assert got == want
+    # multi-query path carries query_name
+    multi = search_run(
+        spark, root, {"tasks": q, "none": "zz-nothing-zz"}, "run-s"
+    )
+    got_m = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in multi.where(F.col("query_name") == "tasks")
+        .select("conv_id", "turn_idx")
+        .collect()
+    )
+    assert got_m == want
+    assert multi.where(F.col("query_name") == "none").count() == 0
+    # time_range bounds the same search
+    ts = sorted(
+        r.ts for r in df.where(F.col("text").rlike(pat))
+        .select(F.unix_millis("ts").alias("ts")).collect()
+    )
+    lo, hi = ts[0], ts[len(ts) // 2]
+    bounded = search_run(spark, root, q, "run-s", time_range=(lo, hi))
+    want_b = [
+        (r.conv_id, r.turn_idx)
+        for r in df.where(
+            F.col("text").rlike(pat)
+            & F.unix_millis("ts").between(F.lit(lo), F.lit(hi))
+        ).select("conv_id", "turn_idx").collect()
+    ]
+    assert sorted(
+        (r.conv_id, r.turn_idx)
+        for r in bounded.select("conv_id", "turn_idx").collect()
+    ) == sorted(want_b)
