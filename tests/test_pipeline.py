@@ -612,3 +612,71 @@ def test_search_run_one_call(spark, tmp_path, layout):
         (r.conv_id, r.turn_idx)
         for r in bounded.select("conv_id", "turn_idx").collect()
     ) == sorted(want_b)
+
+
+@pytest.mark.parametrize("layout", ["working", "archive"])
+def test_search_logs_job(spark, tmp_path, layout):
+    """jobs/search_logs.py — the clg deployment surface: rows with
+    decoded text, multi-query with names, count-by-time, and context
+    modes over a committed run of either layout."""
+    import re
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "jobs",
+        ),
+    )
+    from search_logs import search
+
+    from fluent_bit_clp_spark.plans.pipeline import run_to_sinks
+    from fluent_bit_clp_spark.sources.tables import JobConfig
+
+    df = transcripts(spark, 300, with_edge_rows=False)
+    root = str(tmp_path / f"sj_{layout}")
+    run_to_sinks(spark, df, root, "run-j", cfg=JobConfig(sink_layout=layout))
+
+    q = "Task * started by user * at attempt *"
+    pat = "^" + ".*".join(re.escape(p) for p in q.split("*")) + "$"
+    want = sorted(
+        r.text for r in df.where(F.col("text").rlike(pat)).collect()
+    )
+    assert want
+
+    out1 = str(tmp_path / f"hits_{layout}")
+    s1 = search(spark, root, out1, "run-j", queries={"q1": q})
+    assert s1["mode"] == "rows" and s1["rows_written"] == len(want)
+    got = sorted(
+        r.text
+        for r in spark.read.parquet(os.path.join(out1, "hits")).collect()
+    )
+    assert got == want  # decoded text round-trips byte-exactly
+
+    # multi-query: names attributed
+    out2 = str(tmp_path / f"hits_m_{layout}")
+    s2 = search(
+        spark, root, out2, "run-j",
+        queries={"tasks": q, "none": "zz-nothing-zz"},
+    )
+    m = spark.read.parquet(os.path.join(out2, "hits"))
+    assert s2["rows_written"] == len(want)
+    assert m.where(F.col("query_name") == "tasks").count() == len(want)
+
+    # count-by-time: bucket totals equal the row count
+    out3 = str(tmp_path / f"cnt_{layout}")
+    s3 = search(
+        spark, root, out3, "run-j", queries={"q1": q},
+        count_by_time=86_400_000,
+    )
+    assert s3["matches"] == len(want)
+
+    # context: every hit present and flagged
+    out4 = str(tmp_path / f"ctx_{layout}")
+    s4 = search(
+        spark, root, out4, "run-j", queries={"q1": q}, context=(1, 1)
+    )
+    c = spark.read.parquet(os.path.join(out4, "hits"))
+    assert c.where(F.col("is_match")).count() == len(want)
+    assert s4["rows_written"] >= len(want)
