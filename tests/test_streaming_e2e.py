@@ -137,3 +137,60 @@ def test_stream_dual_timer_sync_on_decoded_stream(spark, tmp_path, chunk_dir):
     }
     for key, val in got.items():
         assert want[key] == val, key
+
+
+def test_stream_live_tail_search(spark, tmp_path, chunk_dir):
+    """Live-tail grep (r6): search_encoded with no dictionary is pure
+    stateless projection/filter (logtype rlike + variable predicates +
+    decode-verify), so it composes directly onto the streaming chain —
+    tail → decode → encode → SEARCH → sink; results equal the batch
+    search over the same chunks, and a late chunk's matching record
+    arrives incrementally (checkpointed exactly-once)."""
+    from fluent_bit_clp_spark.operators.search import search_encoded
+
+    q = "level=error user u* fetched /api/v1/items/* in * ms"
+    ck = str(tmp_path / "ck_search")
+    out = str(tmp_path / "out_search")
+
+    stream_tr = msgpack_to_transcripts(stream_msgpack_files(spark, chunk_dir))
+    enc_stream = _encode_chain(stream_tr, spark)
+    hits_stream = search_encoded(enc_stream, q).select(
+        "conv_id", "turn_idx", "text"
+    )
+    sq = (
+        hits_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    sq.awaitTermination(120)
+
+    batch_enc = _encode_chain(
+        msgpack_to_transcripts(read_msgpack_files(spark, chunk_dir)), spark
+    )
+    want = search_encoded(batch_enc, q).select("conv_id", "turn_idx", "text")
+    got = spark.read.parquet(out)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+    # a late chunk with one matching and one non-matching record: only
+    # the match is appended
+    with open(os.path.join(chunk_dir, "chunk-l2.msgpack"), "wb") as f:
+        f.write(encode_record(BASE_MS + 99_100_000, {
+            "log": "level=error user u9 fetched /api/v1/items/999 in 1.2 ms"
+        }))
+        f.write(encode_record(BASE_MS + 99_200_000, {
+            "log": "level=info user u9 fetched /api/v1/items/999 in 1.2 ms"
+        }))
+    sq2 = (
+        search_encoded(_encode_chain(stream_tr, spark), q)
+        .select("conv_id", "turn_idx", "text")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    sq2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == got.count() + 1
