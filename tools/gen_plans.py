@@ -287,6 +287,66 @@ them (CLP's time-segmented archive pruning).
     out.append("""
 ```
 
+## Multi-query search, one scan (round-6 shape)
+
+What to look for: THREE queries, exactly ONE `Scan parquet` of the
+encoded table (the union of the per-query prunes is the scan filter;
+per-query attribution is a generated tag array above it) — N saved
+searches cost one fact-table pass instead of N.
+
+```
+""")
+    from fluent_bit_clp_spark.operators.search import search_encoded_multi
+
+    enc_path = os.path.join(tmp, "enc_multi")
+    clp_encode(df.select("text")).write.parquet(enc_path)
+    encm = spark.read.parquet(enc_path)
+    out.append(
+        formatted(
+            search_encoded_multi(
+                encm,
+                {
+                    "conn_reset": "Retrying container-* after *s: "
+                                  "connection reset by peer",
+                    "tasks": "Task * started by user * at attempt *",
+                    "api": "GET /api/v2/users/* took * ms",
+                },
+            )
+        ).strip()
+    )
+    out.append("""
+```
+
+## Context-line search, broadcast hit spans (round-6 shape)
+
+What to look for: the fact table is probed by a `BroadcastHashJoin
+... LeftSemi` against the hit spans (range condition riding the key
+equi-join) and a second broadcast marks `is_match` — no fact-side
+`Exchange hashpartitioning` anywhere; a selective query's context
+retrieval is one scan, zero shuffles.
+
+```
+""")
+    from fluent_bit_clp_spark.operators.search import search_with_context
+
+    ctx_path = os.path.join(tmp, "enc_ctx")
+    clp_encode(
+        df.select("conv_id", "turn_idx", "text")
+    ).write.parquet(ctx_path)
+    encc = spark.read.parquet(ctx_path)
+    out.append(
+        formatted(
+            search_with_context(
+                encc,
+                "Retrying container-* after *s: connection reset by peer",
+                n_before=2,
+                n_after=1,
+            )
+        ).strip()
+    )
+    out.append("""
+```
+
 ## Scale notes
 
 - The offsets job re-reads only `octet_length(text)` + 4 narrow columns;
