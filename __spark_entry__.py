@@ -944,6 +944,23 @@ def q_e1_search_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "query_name")
 
 
+def q_e1_template_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-template corpus profile (r6, dictionary.template_profile) —
+    the "what is in my logs" summary: count, byte totals, first/last
+    occurrence per logtype, computed on the encoded columns in one
+    map-side-combinable pass.  The oracle recomputes the template with
+    the tokenizer regex and aggregates the raw fixture."""
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+    from fluent_bit_clp_spark.operators.dictionary import template_profile
+
+    enc = clp_encode_pandas(
+        transcripts(spark, 2000).select(
+            "conv_id", "turn_idx", "text", F.unix_millis("ts").alias("ts_ms")
+        )
+    )
+    return template_profile(enc, ts_col="ts_ms").drop("logtype_id")
+
+
 def q_e1_search_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-line search (r6, search_with_context — grep -C / the log
     viewer's context view): hits plus rows within 2 before / 1 after by
@@ -1985,6 +2002,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_search_ignore_case": q_e1_search_ignore_case,
         "e1_search_multi": q_e1_search_multi,
         "e1_search_context": q_e1_search_context,
+        "e1_template_profile": q_e1_template_profile,
     }
 
 
@@ -2016,6 +2034,22 @@ def extra_oracle_sql() -> dict[str, str]:
             "where text is not null and regexp_matches(text, "
             f"'{exact_text_pattern(q).replace(chr(39), chr(39) * 2)}')"
             for name, q in _MULTI_QUERIES.items()
+        ),
+        # per-template profile: template recomputed with the tokenizer
+        # regex (same recompute discipline as e1_logtype_dense), stats
+        # over the raw fixture; logtype_id (xxhash64) dropped — DuckDB
+        # has no bit-compatible xxhash64
+        # the template is computed over the ESCAPED text (0x10→0x10'e',
+        # 0x11→0x10'p' — clp_native._escape), matching the encoder
+        "e1_template_profile": (
+            "select regexp_replace(replace(replace(text, chr(16), "
+            f"chr(16) || 'e'), chr(17), chr(16) || 'p'), '{VAR_TOKEN_RE}', "
+            "chr(17), 'g') as logtype, count(*) as n_rows, "
+            "cast(sum(strlen(text)) as bigint) as total_bytes, "
+            "round(avg(strlen(text)), 2) as avg_bytes, "
+            "min(epoch_ms(ts)) as first_ts, max(epoch_ms(ts)) as last_ts "
+            f"from read_parquet('{_TRANSCRIPTS_FIXTURE}/*.parquet') "
+            "where text is not null group by 1"
         ),
         # context lines: hits expanded +-N by an EXISTS range probe
         "e1_search_context": (

@@ -109,3 +109,47 @@ def compact_var_dict(encoded: DataFrame, zones: int = DEFAULT_ZONES) -> DataFram
     return ranked.select(
         F.xxhash64("var").alias("var_id"), "var", "dense_id"
     )
+
+
+def template_profile(
+    encoded: DataFrame,
+    ts_col: str | None = None,
+    example: bool = False,
+) -> DataFrame:
+    """Per-template corpus profile — the "what is in my logs" summary a
+    CLP store answers without touching message text: for every logtype
+    template, its row count, total/avg text bytes, and (with ``ts_col``)
+    the first/last occurrence.  ``example=True`` adds one deterministic
+    example line (the minimum decoded text — min, not first, so the
+    result is stable across partitioning).
+
+    Scale shape: one scan, fully map-side-combinable aggregates, one
+    (logtype_id)-hashed exchange of partial rows — cardinality is the
+    template count (thousands), not the corpus.  Bytes come from
+    ``octet_length(text)`` when the raw column is present, else from the
+    decoded length expression — either way no row leaves the scan.
+    """
+    from fluent_bit_clp_spark.functions.clp_native import clp_decode_column
+
+    text = (
+        F.col("text")
+        if "text" in encoded.columns
+        else clp_decode_column()
+    )
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.sum(F.octet_length(text)).alias("total_bytes"),
+        F.round(F.avg(F.octet_length(text)), 2).alias("avg_bytes"),
+    ]
+    if ts_col is not None:
+        aggs += [
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        ]
+    if example:
+        aggs.append(F.min(text).alias("example"))
+    return (
+        encoded.where(F.col("logtype").isNotNull())
+        .groupBy("logtype_id", "logtype")
+        .agg(*aggs)
+    )

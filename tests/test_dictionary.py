@@ -116,3 +116,32 @@ def test_extend_dense_ids_preserves_and_appends(spark):
     # idempotent: extending again with the same batch changes nothing
     d3 = extend_dense_ids(d2, run2, "k")
     assert {r.k: r.dense_id for r in d3.collect()} == m2
+
+
+def test_template_profile(spark):
+    """Per-template profile: counts/bytes/ts bounds per logtype; example
+    is the MIN decoded text (stable across partitioning); encode-failed
+    (null-logtype) rows excluded."""
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.dictionary import template_profile
+
+    rows = [
+        ("a", 0, 10, "job 2 done"),
+        ("a", 1, 30, "job 11 done"),
+        ("b", 0, 20, "job 3 done"),
+        ("b", 1, 40, "disk sda1 full"),
+        ("c", 0, 50, None),  # null text -> null logtype -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts_ms long, text string"
+    )
+    out = template_profile(clp_encode(df), ts_col="ts_ms", example=True)
+    got = {
+        r.logtype: (r.n_rows, r.total_bytes, r.first_ts, r.last_ts, r.example)
+        for r in out.collect()
+    }
+    assert len(got) == 2
+    job = got["job \x11 done"]
+    assert job == (3, 10 + 11 + 10, 10, 30, "job 11 done")  # min() text
+    disk = got["disk sda\x11 full"]
+    assert disk == (1, 14, 40, 40, "disk sda1 full")
