@@ -143,5 +143,5 @@ def test_template_profile(spark):
     assert len(got) == 2
     job = got["job \x11 done"]
     assert job == (3, 10 + 11 + 10, 10, 30, "job 11 done")  # min() text
-    disk = got["disk sda\x11 full"]
+    disk = got["disk \x11 full"]
     assert disk == (1, 14, 40, 40, "disk sda1 full")
