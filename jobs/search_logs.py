@@ -48,12 +48,14 @@ def search(
     ignore_case: bool = False,
     count_by_time: int | None = None,
     context: tuple[int, int] | None = None,
+    profile: bool = False,
 ) -> dict:
     """The search itself — factored out of main() so tests drive it
     against their own SparkSession (main() owns session lifecycle)."""
     from pyspark.sql import functions as F
 
     from fluent_bit_clp_spark.functions.clp_native import clp_decode_column
+    from fluent_bit_clp_spark.operators.dictionary import template_profile
     from fluent_bit_clp_spark.operators.search import (
         search_count_by_time,
         search_with_context,
@@ -61,10 +63,28 @@ def search(
     from fluent_bit_clp_spark.plans import lineage
     from fluent_bit_clp_spark.plans.pipeline import load_sinks, search_run
 
+    if sum([count_by_time is not None, context is not None, profile]) > 1:
+        raise ValueError(
+            "--count-by-time, --context and --profile are exclusive"
+        )
+    if profile and not queries:
+        # whole-run profile: the template summary of everything stored
+        tbl = load_sinks(spark, input_root, run_id)
+        if sink is not None:
+            tbl = tbl.where(F.col("sink") == sink)
+        if time_range is not None:
+            lo, hi = time_range
+            tbl = tbl.where(F.col("ts_ms").between(F.lit(lo), F.lit(hi)))
+        out = template_profile(tbl, ts_col="ts_ms", example=True)
+        out.write.mode("error").parquet(os.path.join(output_root, "profile"))
+        return {
+            "run_id": run_id,
+            "mode": "profile",
+            "templates": out.count(),
+            "searched": True,
+        }
     if not queries:
         raise ValueError("at least one --query is required")
-    if count_by_time is not None and context is not None:
-        raise ValueError("--count-by-time and --context are exclusive")
     single = next(iter(queries.values())) if len(queries) == 1 else None
 
     if context is not None:
@@ -110,6 +130,23 @@ def search(
             "encoding_mode", "i64"
         )
 
+    if profile:
+        # profile of the MATCHING rows — "what templates does this query
+        # hit"; a multi-query result carries one row per matching query,
+        # so the union dedups on the row identity before profiling
+        rows_in = hits
+        if single is None:
+            rows_in = hits.drop("query_name").dropDuplicates(
+                ["sink", "conv_id", "turn_idx"]
+            )
+        out = template_profile(rows_in, ts_col="ts_ms", example=True)
+        out.write.mode("error").parquet(os.path.join(output_root, "profile"))
+        return {
+            "run_id": run_id,
+            "mode": "profile",
+            "templates": out.count(),
+            "searched": True,
+        }
     if count_by_time is not None:
         out = search_count_by_time(hits, bucket_ms=count_by_time)
         out.write.mode("error").parquet(os.path.join(output_root, "counts"))
@@ -153,8 +190,9 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="search output root")
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument(
-        "--query", action="append", required=True,
-        help="CLP wildcard query (*/?); repeat for one-scan multi-query",
+        "--query", action="append", default=None,
+        help="CLP wildcard query (*/?); repeat for one-scan multi-query; "
+             "optional with --profile (whole-run profile)",
     )
     ap.add_argument(
         "--query-name", action="append", default=None,
@@ -175,14 +213,22 @@ def main() -> None:
         metavar=("N_BEFORE", "N_AFTER"),
         help="emit hits plus surrounding rows (is_match flag)",
     )
+    ap.add_argument(
+        "--profile", action="store_true",
+        help="emit the per-template profile (of the run, or of the "
+             "matching rows when --query is given)",
+    )
     args = ap.parse_args()
 
+    qlist = args.query or []
+    if not qlist and not args.profile:
+        raise SystemExit("at least one --query is required (or --profile)")
     names = args.query_name or []
-    if len(names) > len(args.query):
+    if len(names) > len(qlist):
         raise SystemExit("more --query-name values than --query values")
     queries = {
         (names[i] if i < len(names) else f"q{i + 1}"): q
-        for i, q in enumerate(args.query)
+        for i, q in enumerate(qlist)
     }
 
     from pyspark.sql import SparkSession
@@ -199,6 +245,7 @@ def main() -> None:
         ignore_case=args.ignore_case,
         count_by_time=args.count_by_time,
         context=tuple(args.context) if args.context else None,
+        profile=args.profile,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -680,3 +680,45 @@ def test_search_logs_job(spark, tmp_path, layout):
     c = spark.read.parquet(os.path.join(out4, "hits"))
     assert c.where(F.col("is_match")).count() == len(want)
     assert s4["rows_written"] >= len(want)
+
+
+def test_search_logs_profile_mode(spark, tmp_path):
+    """--profile: whole-run template summary, and the query-filtered
+    variant profiles only the matching rows (multi dedups the union)."""
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "jobs",
+        ),
+    )
+    from search_logs import search
+
+    from fluent_bit_clp_spark.plans.pipeline import run_to_sinks
+
+    df = transcripts(spark, 300, with_edge_rows=False)
+    root = str(tmp_path / "sp")
+    run_to_sinks(spark, df, root, "run-p")
+
+    out1 = str(tmp_path / "prof_all")
+    s1 = search(spark, root, out1, "run-p", queries=None, profile=True)
+    p = spark.read.parquet(os.path.join(out1, "profile"))
+    assert s1["templates"] == p.count() > 1
+    assert p.agg(F.sum("n_rows")).collect()[0][0] == df.where(
+        F.col("text").isNotNull()
+    ).count()
+
+    q = "Task * started by user * at attempt *"
+    out2 = str(tmp_path / "prof_q")
+    s2 = search(spark, root, out2, "run-p", queries={"a": q, "b": q},
+                profile=True)
+    p2 = spark.read.parquet(os.path.join(out2, "profile"))
+    assert s2["templates"] == 1  # one template matches this query shape
+    import re
+
+    pat = "^" + ".*".join(re.escape(x) for x in q.split("*")) + "$"
+    n_match = df.where(F.col("text").rlike(pat)).count()
+    # identical duplicate queries: union dedups, rows counted once
+    assert p2.agg(F.sum("n_rows")).collect()[0][0] == n_match
