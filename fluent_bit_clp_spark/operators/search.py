@@ -68,25 +68,81 @@ def compile_relaxed_pattern(query: str, ignore_case: bool = False) -> str:
     case-folding never moves a token boundary or placeholder), leaving
     only literal letters for ``(?i)`` to fold.  ASCII case folding —
     query fixtures and CLP logtypes are ASCII; Java applies Unicode
-    folding only under UNICODE_CASE, which we do not enable."""
+    folding only under UNICODE_CASE, which we do not enable.
+
+    Merge regions (hypothesis-found, round 6): the token-char runs
+    touching a wildcard may all belong to ONE data token — ``x?y``
+    must match the single token ``x9y`` (logtype = one placeholder),
+    ``n*ode-7`` the token ``node-7``, ``a*9*b`` the token ``a9b``.
+    The pattern is therefore assembled from typed atoms, and every
+    maximal run of fragment/edge-placeholder/gap atoms (bounded by
+    literal logtype text, whose boundary chars are non-token by
+    maximality) carries a single-placeholder alternative.  For a
+    one-fragment gap like ``container-*`` the alternative is a strict
+    subset of ``(?:frag|PH).*`` — prune selectivity on the common
+    query shapes is unchanged."""
+    ph = re.escape(PLACEHOLDER)
     parts = query.replace("?", "*").split("*")
-    out = []
+    # atoms: ('lit', text) | ('frag', run) | ('ph_edge',) | ('gap',)
+    atoms: list[tuple] = []
+    last = len(parts) - 1
     for i, part in enumerate(parts):
         logtype = _encode_one(part)[0]
-        prefix = suffix = ""
-        if i > 0:  # a '*' precedes this part: leading fragment is ambiguous
+        lead = trail = None
+        if i > 0:  # a '*' precedes this part: leading fragment ambiguous
             m = _LEADING_FRAG.match(logtype)
             if m and PLACEHOLDER not in m.group(0):
-                prefix = _relax(m.group(0))
+                lead = ("frag", m.group(0))
                 logtype = logtype[m.end():]
-        if i < len(parts) - 1:  # a '*' follows: trailing fragment ambiguous
+            elif logtype.startswith(PLACEHOLDER):
+                # leading token fragment is (part of) a VARIABLE
+                # ('n*ode-7' → 'ode-7' encodes to the placeholder)
+                lead = ("ph_edge",)
+                logtype = logtype[1:]
+        if i < last:  # a '*' follows: trailing fragment ambiguous
             m = _TRAILING_FRAG.search(logtype)
             if m and PLACEHOLDER not in m.group(0):
-                suffix = _relax(m.group(0))
+                trail = ("frag", m.group(0))
                 logtype = logtype[: m.start()]
+            elif logtype.endswith(PLACEHOLDER):
+                trail = ("ph_edge",)
+                logtype = logtype[:-1]
         if i > 0:
-            out.append(".*")
-        out.append(prefix + re.escape(logtype) + suffix)
+            atoms.append(("gap",))
+        if lead is not None:
+            atoms.append(lead)
+        if logtype:
+            atoms.append(("lit", logtype))
+        if trail is not None:
+            atoms.append(trail)
+    out: list[str] = []
+    run: list[tuple] = []
+
+    def _flush() -> None:
+        if not run:
+            return
+        r = "".join(
+            ".*" if a[0] == "gap"
+            else f"(?:{ph})?" if a[0] == "ph_edge"
+            else _relax(a[1])
+            for a in run
+        )
+        # a region with a wildcard AND ≥1 token fragment/edge may be a
+        # single merged data token → one placeholder serves it all
+        if any(a[0] == "gap" for a in run) and any(
+            a[0] in ("frag", "ph_edge") for a in run
+        ):
+            r = f"(?:{r}|{ph})"
+        out.append(r)
+        run.clear()
+
+    for a in atoms:
+        if a[0] == "lit":
+            _flush()
+            out.append(re.escape(a[1]))
+        else:
+            run.append(a)
+    _flush()
     return ("(?i)" if ignore_case else "") + "^" + "".join(out) + "$"
 
 

@@ -905,3 +905,107 @@ def test_context_search_probe_plan(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan.split("LeftSemi")[0], (
         plan[:1500]
     )
+
+
+# --- property-based differential (hypothesis) -------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(
+    ["job", "retry", "Err", "node-7", "10.0.0.2", "x9y", "42", "3.14",
+     "done", "/var/log", "a_b", "NaN-ish", "u+1"]
+)
+_texts = st.lists(_words, min_size=1, max_size=6).map(" ".join)
+
+
+@st.composite
+def _corpus_and_query(draw):
+    texts = draw(st.lists(_texts, min_size=3, max_size=12))
+    base = draw(st.sampled_from(texts))
+    # carve a query out of a real line: replace a random slice with '*'
+    # or a random char with '?', possibly at the ends
+    mode = draw(st.sampled_from(["star", "qmark", "exact", "both"]))
+    if mode == "exact":
+        return texts, base
+    i = draw(st.integers(0, max(len(base) - 1, 0)))
+    j = draw(st.integers(i, len(base)))
+    if mode == "star":
+        return texts, base[:i] + "*" + base[j:]
+    if mode == "qmark" and base:
+        return texts, base[:i] + "?" + base[i + 1:] if i < len(base) else base
+    return texts, base[:i] + "*" + base[i:j].replace("o", "?") + base[j:]
+
+
+@settings(max_examples=25, deadline=None)
+@given(_corpus_and_query())
+def test_property_search_equals_naive(spark, cq):
+    """Any wildcard query carved from a real line returns exactly the
+    naive-regex rows, through the full prune stack (logtype dictionary +
+    variable predicates + fragment enumeration + decode-verify)."""
+    from fluent_bit_clp_spark.functions.clp_native import (
+        clp_encode,
+        logtype_dictionary,
+        var_dictionary,
+    )
+    from fluent_bit_clp_spark.operators.search import exact_text_pattern
+
+    texts, query = cq
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    enc = clp_encode(df)
+    got = sorted(
+        r.id
+        for r in search_encoded(
+            enc,
+            query,
+            dictionary=logtype_dictionary(enc),
+            var_dictionary=var_dictionary(enc),
+        ).collect()
+    )
+    want = sorted(
+        r.id
+        for r in df.where(
+            F.col("text").rlike(exact_text_pattern(query))
+        ).collect()
+    )
+    assert got == want
+    assert len(want) >= 1  # the carved query matches its source line
+
+
+def test_wildcard_splits_variable_token(spark):
+    """Regression (hypothesis-found, r6): a query whose '*'/'?' splits a
+    single data VARIABLE token ('n*ode-7' vs token 'node-7') must still
+    match — the part-edge placeholder is optional in the relaxed prune,
+    since one data placeholder can serve both sides of the wildcard."""
+    from fluent_bit_clp_spark.functions.clp_native import (
+        clp_encode,
+        logtype_dictionary,
+        var_dictionary,
+    )
+
+    rows = [
+        (0, "job"), (1, "node-7"), (2, "job"),
+        (3, "7xyz"), (4, "foo n8ode-7 bar"), (5, "n8ode-7 bar"),
+        (6, "x9y"), (7, "a9b"), (8, "a9 zz 8b"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    enc = clp_encode(df)
+    d, vd = logtype_dictionary(enc), var_dictionary(enc)
+    for q, want in [
+        ("n*ode-7", [1]),      # leading literal + variable tail, one token
+        ("7x*yz", [3]),        # variable head + literal tail, one token
+        ("n?de-7", [1]),       # '?' widens through the same compile
+        ("foo n*ode-7 bar", [4]),
+        ("n*ode-7 bar", [5]),
+        ("x?y", [6]),          # both-side fragments, one merged token
+        ("a*9*b", [7, 8]),     # multi-gap collapse through a variable
+    ]:
+        got = sorted(
+            r.id
+            for r in search_encoded(
+                enc, q, dictionary=d, var_dictionary=vd
+            ).collect()
+        )
+        assert got == want, (q, got, want)
