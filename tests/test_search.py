@@ -938,11 +938,12 @@ def _corpus_and_query(draw):
 
 
 @settings(max_examples=25, deadline=None)
-@given(_corpus_and_query())
-def test_property_search_equals_naive(spark, cq):
+@given(_corpus_and_query(), st.booleans())
+def test_property_search_equals_naive(spark, cq, fold):
     """Any wildcard query carved from a real line returns exactly the
     naive-regex rows, through the full prune stack (logtype dictionary +
-    variable predicates + fragment enumeration + decode-verify)."""
+    variable predicates + fragment enumeration + decode-verify);
+    ``fold`` swaps the query's case and runs the ignore_case path."""
     from fluent_bit_clp_spark.functions.clp_native import (
         clp_encode,
         logtype_dictionary,
@@ -951,6 +952,8 @@ def test_property_search_equals_naive(spark, cq):
     from fluent_bit_clp_spark.operators.search import exact_text_pattern
 
     texts, query = cq
+    if fold:
+        query = query.swapcase()
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "id int, text string"
     )
@@ -962,12 +965,13 @@ def test_property_search_equals_naive(spark, cq):
             query,
             dictionary=logtype_dictionary(enc),
             var_dictionary=var_dictionary(enc),
+            ignore_case=fold,
         ).collect()
     )
     want = sorted(
         r.id
         for r in df.where(
-            F.col("text").rlike(exact_text_pattern(query))
+            F.col("text").rlike(exact_text_pattern(query, ignore_case=fold))
         ).collect()
     )
     assert got == want
