@@ -1013,3 +1013,40 @@ def test_wildcard_splits_variable_token(spark):
             ).collect()
         )
         assert got == want, (q, got, want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_corpus_and_query(), st.booleans())
+def test_property_stored_archive_search_equals_naive(spark, cq, fold):
+    """The stored-archive path (untyped-template pattern match →
+    stored-template isin → reconstruction → the full search stack) obeys
+    the same differential as the working layout, including the
+    merged-token shapes and ignore_case."""
+    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.operators.archive import to_archive
+    from fluent_bit_clp_spark.operators.search import (
+        archive_logtype_dictionary,
+        exact_text_pattern,
+        search_stored_archive,
+    )
+
+    texts, query = cq
+    if fold:
+        query = query.swapcase()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    arch = to_archive(clp_encode(df))
+    got = sorted(
+        r.id
+        for r in search_stored_archive(
+            arch, query, archive_logtype_dictionary(arch), ignore_case=fold
+        ).collect()
+    )
+    want = sorted(
+        r.id
+        for r in df.where(
+            F.col("text").rlike(exact_text_pattern(query, ignore_case=fold))
+        ).collect()
+    )
+    assert got == want and len(want) >= 1
