@@ -511,8 +511,10 @@ def search_with_context(
     around each hit) are broadcast and the fact table is probed in ONE
     scan with a broadcast semi-join — equality on ``key_cols`` carries
     the hash join, the range lands as its join condition, and no row of
-    the fact table shuffles.  ``is_match`` rides the same scan as a
-    second broadcast (hits keyed exactly).  For a NON-selective query
+    the fact table shuffles.  ``is_match`` is a per-row expression over
+    the surviving context set (decode + the exact verify regex — the
+    same predicate that admitted the hits), so the search subtree is
+    evaluated exactly once.  For a NON-selective query
     set ``broadcast_hits=False``: the semi-join falls back to a
     key-hashed shuffle join (one wide exchange) — same results.
 
@@ -533,17 +535,25 @@ def search_with_context(
         (F.col(order_col) - F.lit(n_before)).alias("_ctx_lo"),
         (F.col(order_col) + F.lit(n_after)).alias("_ctx_hi"),
     )
-    exact = hits.withColumn("_ctx_hit", F.lit(True))
     if broadcast_hits:
-        spans, exact = F.broadcast(spans), F.broadcast(exact)
+        spans = F.broadcast(spans)
     cond = F.col(order_col).between(F.col("_ctx_lo"), F.col("_ctx_hi"))
     for k in keys:
         cond = cond & F.col(k).eqNullSafe(F.col(f"_ctx_{k}"))
     ctx = encoded.join(spans, cond, "left_semi")
-    out = ctx.join(exact, [*keys, order_col], "left")
-    return out.withColumn(
-        "is_match", F.coalesce(F.col("_ctx_hit"), F.lit(False))
-    ).drop("_ctx_hit")
+    # is_match needs NO second join (and no second evaluation of the
+    # search subtree): a context row is a hit iff its decoded text
+    # matches the exact verify regex — a per-row expression over the
+    # small context set, exactly the predicate that admitted the hits
+    return ctx.withColumn(
+        "is_match",
+        F.coalesce(
+            clp_decode_column(mode=mode).rlike(
+                exact_text_pattern(query, ignore_case)
+            ),
+            F.lit(False),  # encode-failed rows decode to null → not hits
+        ),
+    )
 
 
 def search_count_by_time(
