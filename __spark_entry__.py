@@ -66,6 +66,41 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _parallel(df: DataFrame, *keys: str) -> DataFrame:
+    """Guarantee at least one task per core before per-row-heavy work
+    (r7, guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read").
+
+    The driver's testdata tables are single parquet files with ONE row
+    group, so their scans are a single task no matter what
+    ``maxPartitionBytes`` says — every UDF/regex stage downstream ran on
+    one core while 31 idled.  Scale-adaptive: when the scan already has
+    ≥ defaultParallelism partitions (any real multi-file table at scale),
+    this is a no-op — no exchange is added, so it can never become an
+    accidental full-table shuffle at 100 TB.
+
+    Pass a unique (or high-cardinality) column as ``keys`` whenever one
+    exists: hash partitioning is deterministic per row, so it skips the
+    local sort every keyless round-robin repartition pays
+    (``spark.sql.execution.sortBeforeRepartition``, guide §2.5) — that
+    sort runs inside the single scan task, exactly where serial time
+    hurts most.  Callers should also defer computed columns (e.g. the
+    ``format_string`` line synthesis) until AFTER this exchange so the
+    scan task ships raw columns and the per-row work lands on all cores.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
+# The raw event columns _line_col() needs — selected BEFORE the
+# _parallel exchange so the printf runs post-exchange on all cores.
+_LINE_COLS = ("event_id", "user_id", "event_type", "value", "props")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_t(sf_dir, "events"))
 
@@ -170,14 +205,28 @@ def q_s1_msgpack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"src": [f"chunk-{int(pdf['bucket'].iloc[0])}"], "content": [blob]}
         )
 
-    chunks = ev.groupBy("bucket").applyInPandas(enc, "src string, content binary")
+    # r7: pin the bucket shuffle at one-partition-per-bucket.  The 32
+    # chunk blobs total well under AQE's 64 MB advisory size, so adaptive
+    # coalescing was collapsing the groupBy shuffle to ~1 partition —
+    # serializing the Python encode AND the fused decode map behind it.
+    # An explicit repartition(n, key) is user-specified and AQE leaves it
+    # alone; it satisfies applyInPandas' clustering, so no extra exchange.
+    chunks = (
+        ev.repartition(32, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(enc, "src string, content binary")
+    )
     dec = decode_msgpack_chunks(chunks, "v2")
+    # json_tuple parses each record ONCE for both fields (two
+    # get_json_object calls parsed the JSON twice per row — guide §1.2
+    # per-task work); values are identical (string extraction + cast)
     return dec.select(
-        F.get_json_object("record_json", "$.event_id")
-        .cast("bigint")
-        .alias("event_id"),
+        F.json_tuple("record_json", "event_id", "msg").alias("_eid", "msg"),
         "ts_ms",
-        F.get_json_object("record_json", "$.msg").alias("msg"),
+    ).select(
+        F.col("_eid").cast("bigint").alias("event_id"),
+        "ts_ms",
+        "msg",
     )
 
 
@@ -209,7 +258,12 @@ def q_s1_msgpack_v1_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"src": [f"c{int(pdf['bucket'].iloc[0])}"], "content": [blob]}
         )
 
-    chunks = ev.groupBy("bucket").applyInPandas(enc, "src string, content binary")
+    # one partition per bucket — see q_s1_msgpack_decode (AQE coalescing)
+    chunks = (
+        ev.repartition(16, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(enc, "src string, content binary")
+    )
     dec = decode_msgpack_chunks(chunks, "v1")
     return dec.select(
         F.get_json_object("record_json", "$.event_id")
@@ -300,18 +354,28 @@ def q_p6_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_e1_logtype_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 tokenizer core: logtype template + variable count per record —
-    via the PRODUCTION Arrow encode path (clp_pandas; measured ~5.7×
-    faster than the native-expression twin), against an independent
+    via the shared production token grammar, against an independent
     regexp oracle.  Identical output by construction: event lines carry
-    no 0x10/0x11 bytes, so escaping is the identity."""
-    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
+    no 0x10/0x11 bytes, so escaping is the identity.
 
-    ev = _events(spark, sf_dir).select("event_id", _line_col().alias("line"))
-    enc = clp_encode_pandas(ev, "line")
+    r7 (guide §4): the query keeps only (logtype, n_vars), so it uses the
+    split-pass-only UDF — classification, packing and all xxh64 ids were
+    computed and Arrow-shipped just to be thrown away (the full encode
+    stays covered by the headline pipeline + roundtrip gates + tests).
+    ``n_vars`` == ``size(var_kinds)`` by construction (one count per
+    grammar token)."""
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_logtype_nvars_udf
+
+    ev = _parallel(
+        _events(spark, sf_dir).select(*_LINE_COLS), "event_id"
+    ).select("event_id", _line_col().alias("line"))
+    enc = ev.select(
+        "event_id", clp_logtype_nvars_udf()(F.col("line")).alias("_e")
+    )
     return enc.select(
         "event_id",
-        "logtype",
-        F.size("var_kinds").cast("bigint").alias("n_vars"),
+        F.col("_e.logtype").alias("logtype"),
+        F.col("_e.n_vars").alias("n_vars"),
     )
 
 
@@ -320,8 +384,12 @@ def q_e1_logtype_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Computes ONLY the regexp_replace template — round 1 reused
     q_e1_logtype_extract and paid a second, thrown-away
-    regexp_extract_all pass for n_vars (VERDICT r1 'weak' flag)."""
-    ev = _events(spark, sf_dir).select(_line_col())
+    regexp_extract_all pass for n_vars (VERDICT r1 'weak' flag).
+    r7: ``_parallel`` spreads the regex over all cores (the scan is one
+    unsplittable row group)."""
+    ev = _parallel(
+        _events(spark, sf_dir).select(*_LINE_COLS), "event_id"
+    ).select(_line_col())
     return (
         ev.select(F.regexp_replace("line", VAR_TOKEN_RE, PH).alias("logtype"))
         .groupBy("logtype")
@@ -338,10 +406,19 @@ def q_e1_var_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1_logtype_extract and e1_encode_4byte."""
     from fluent_bit_clp_spark.functions.clp_pandas import clp_var_kinds_udf
 
-    ev = _events(spark, sf_dir).select(_line_col().alias("line"))
+    ev = _parallel(
+        _events(spark, sf_dir).select(*_LINE_COLS), "event_id"
+    ).select(_line_col().alias("line"))
     kinds = ev.select(clp_var_kinds_udf()(F.col("line")).alias("var_kinds"))
+    # explode_outer + post-filter, NOT explode: a plain explode over a UDF
+    # column pushes its implicit `size(arr)>0` pre-filter below the
+    # projection AND the repartition exchange, re-evaluating the whole
+    # Arrow UDF serially in the scan task (the dedup.exploded_shingles
+    # finding; verified here in the r7 before-plan — two ArrowEvalPython
+    # nodes, one under the Exchange)
     return (
-        kinds.select(F.explode("var_kinds").alias("var_kind"))
+        kinds.select(F.explode_outer("var_kinds").alias("var_kind"))
+        .where(F.col("var_kind").isNotNull())
         .select(F.col("var_kind").cast("bigint").alias("var_kind"))
         .groupBy("var_kind")
         .agg(F.count("*").alias("n"))
@@ -350,13 +427,31 @@ def q_e1_var_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_e1_encode_4byte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 four-byte mode (CLP parity): classification AND the 32-bit
-    property packing, via the production clp_encode(mode='4byte') path —
-    the oracle recomputes both independently in SQL."""
-    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    property packing, via the production 4byte kind/pack decision — the
+    oracle recomputes both independently in SQL.
 
-    ev = _events(spark, sf_dir).select(_line_col().alias("text"))
-    enc = clp_encode(ev, mode="4byte")
-    z = enc.select(F.explode(F.arrays_zip("var_kinds", "encoded_vars")).alias("x"))
+    r7 (guide §4): the Arrow batch path replaces the native-expression
+    ``clp_encode`` (Catalyst evaluates higher-order-function lambdas
+    interpreted — the module's own measured 5.7× gap), and ships only
+    (var_kinds, encoded_vars) since the histogram reads nothing else;
+    kind/pack equality between the two implementations is pinned in
+    tests/test_clp_4byte.py and tests/test_clp_core.py."""
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_kinds_encoded_udf
+
+    ev = _parallel(
+        _events(spark, sf_dir).select(*_LINE_COLS), "event_id"
+    ).select(_line_col().alias("text"))
+    enc = ev.select(
+        clp_kinds_encoded_udf("4byte")(F.col("text")).alias("_e")
+    ).select(
+        F.col("_e.var_kinds").alias("var_kinds"),
+        F.col("_e.encoded_vars").alias("encoded_vars"),
+    )
+    # explode_outer + post-filter: see q_e1_var_classes (a plain explode
+    # re-evaluates the UDF below the exchange for its implicit pre-filter)
+    z = enc.select(
+        F.explode_outer(F.arrays_zip("var_kinds", "encoded_vars")).alias("x")
+    ).where(F.col("x").isNotNull())
     return (
         z.select(
             F.col("x.var_kinds").cast("bigint").alias("var_kind"),
@@ -369,7 +464,13 @@ def q_e1_encode_4byte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_e3_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3/R2/R3/A2: deterministic cumulative-size chunk assignment
-    (single-window formulation == the hierarchical one, see tests)."""
+    (single-window formulation == the hierarchical one, see tests).
+
+    r7 note: a distributed-prefix-sum rewrite was measured SLOWER here
+    (1.54 s vs 0.72 s at sf1.0) — ``repartitionByRange`` adds a sampling
+    pass over the single-task scan, doubling the serial bottleneck — so
+    the 5-way window stays (deliberately left alone; at real scale the
+    pipeline's hierarchical ``assign_chunks`` is the production path)."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir).select(
@@ -457,11 +558,13 @@ def q_e1_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLP search on the ENCODED table (dictionary-pruned wildcard query,
     decode-verify on candidates) vs the oracle's naive regex on raw text —
     end-to-end proof the encoding is queryable without loss."""
-    from fluent_bit_clp_spark.functions.clp_native import clp_encode
+    from fluent_bit_clp_spark.functions.clp_pandas import clp_encode_pandas
     from fluent_bit_clp_spark.operators.search import search_encoded
 
-    ev = _events(spark, sf_dir).select("event_id", _line_col().alias("text"))
-    enc = clp_encode(ev, "text")
+    ev = _parallel(
+        _events(spark, sf_dir).select(*_LINE_COLS), "event_id"
+    ).select("event_id", _line_col().alias("text"))
+    enc = clp_encode_pandas(ev, "text")
     hits = search_encoded(enc, "user * error value *")
     return hits.select("event_id")
 
@@ -492,7 +595,7 @@ def q_e1_logtype_dense_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_clp_spark.operators.dictionary import dense_ids
 
     d = (
-        _events(spark, sf_dir)
+        _parallel(_events(spark, sf_dir).select(*_LINE_COLS), "event_id")
         .select(_line_col())
         .select(F.regexp_replace("line", VAR_TOKEN_RE, PH).alias("logtype"))
         .distinct()
@@ -502,7 +605,7 @@ def q_e1_logtype_dense_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace tokens + BPE-ish subword estimate."""
-    return _docs(spark, sf_dir).select(
+    return _parallel(_docs(spark, sf_dir), "doc_id").select(
         "doc_id",
         TS.token_count("text").alias("n_tokens"),
         TS.subword_estimate("text").alias("n_subwords"),
@@ -511,7 +614,7 @@ def q_t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts (training-data token accounting)."""
-    return _docs(spark, sf_dir).select(
+    return _parallel(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", TS.bpe_ish_token_count("text").alias("n_bpe_tokens")
     )
 
@@ -542,7 +645,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_d_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH + exact verify."""
-    return D.embedding_near_dups(_emb(spark, sf_dir), threshold=0.35)
+    return D.embedding_near_dups(_parallel(_emb(spark, sf_dir), "vec_id"), threshold=0.35)
 
 
 def q_t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,8 +655,7 @@ def q_t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per row (VERDICT r2 #2 — the composite-expression form paid the
     regex ~3× per row); identical values, so the oracle is unchanged."""
     d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
+        _parallel(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
         .withColumn("_w", TS.words_array("text"))
         .withColumn("_sr", TS.stopword_ratio_from("_w"))
         .withColumn("_pr", TS.punct_ratio("text"))
@@ -569,8 +671,7 @@ def q_t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic counts (declared lang vs heuristic)."""
     d = (
-        _docs(spark, sf_dir)
-        .select("lang", "text")
+        _parallel(_docs(spark, sf_dir).select("doc_id", "lang", "text"), "doc_id")
         .withColumn("_w", TS.words_array("text"))
         .withColumn("_sr", TS.stopword_ratio_from("_w"))
     )
@@ -583,7 +684,7 @@ def q_t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (normalization-stable md5)."""
-    return _docs(spark, sf_dir).select(
+    return _parallel(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", TS.fingerprint("text").alias("fp")
     )
 
@@ -601,12 +702,12 @@ def q_d_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures — the PRODUCTION path (word-3-gram shingles,
     k=8 portable 60-bit hashes), fully oracle-reproducible in DuckDB
     (round-2 upgrade: round 1 oracle-checked only an inline md5 variant)."""
-    return D.minhash_signatures(_docs(spark, sf_dir), "doc_id")
+    return D.minhash_signatures(_parallel(_docs(spark, sf_dir), "doc_id"), "doc_id")
 
 
 def q_d_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle cardinality per doc (n-gram Jaccard building block)."""
-    d = D.with_shingles(_docs(spark, sf_dir), "text", 3)
+    d = D.with_shingles(_parallel(_docs(spark, sf_dir), "doc_id"), "text", 3)
     return d.select(
         "doc_id",
         F.size(F.array_distinct("shingles")).cast("bigint").alias("n_shingles"),
@@ -615,7 +716,7 @@ def q_d_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for the first 5 vectors (ANN baseline)."""
-    emb = _emb(spark, sf_dir)
+    emb = _parallel(_emb(spark, sf_dir), "vec_id")
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.cosine_topk(emb, queries, k=3).select(
         "query_id", "rank", "neighbor_id", "cosine"
@@ -1059,13 +1160,13 @@ def q_pipeline_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sketches (portable 60-bit hash — DuckDB-oracle-checked)."""
-    return D.simhash(_docs(spark, sf_dir), "doc_id")
+    return D.simhash(_parallel(_docs(spark, sf_dir), "doc_id"), "doc_id")
 
 
 def q_d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs + exact Jaccard verify —
     the full production banding/bucketing chain, oracle-checked."""
-    docs = _docs(spark, sf_dir)
+    docs = _parallel(_docs(spark, sf_dir), "doc_id")
     sigs = D.minhash_signatures(docs, "doc_id")
     pairs = D.lsh_candidate_pairs(sigs, "doc_id")
     out = D.ngram_jaccard(docs, pairs, "doc_id").where(F.col("jaccard") >= 0.35)
@@ -1075,7 +1176,7 @@ def q_d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate ANN (scale path) — bucket assignment uses
     inline hyperplane literals shared verbatim with the oracle SQL."""
-    emb = _emb(spark, sf_dir)
+    emb = _parallel(_emb(spark, sf_dir), "vec_id")
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.lsh_topk(emb, queries, dim=64, k=3, n_planes=4)
 
@@ -1084,7 +1185,7 @@ def q_a_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN search (round-3 gap close): first 8 vectors as
     centroids, queries probe their 2 nearest cells, top-3 by cosine
     within the probed cells only."""
-    emb = _emb(spark, sf_dir)
+    emb = _parallel(_emb(spark, sf_dir), "vec_id")
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
@@ -1125,7 +1226,7 @@ def q_m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned — byte-level histograms aren't SQL-expressible.)"""
     from fluent_bit_clp_spark.operators.multimodal import extract_features
 
-    media = _docs(spark, sf_dir).select(
+    media = _parallel(_docs(spark, sf_dir), "doc_id").select(
         F.col("doc_id").cast("bigint").alias("media_id"),
         F.lit("image").alias("kind"),
         F.col("text").cast("binary").alias("payload"),
@@ -1145,7 +1246,7 @@ def q_a_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: nearest-of-8-centroids cell assignment
     (centroids = the first 8 vectors, deterministic), against an
     independent SQL distance computation."""
-    emb = _emb(spark, sf_dir)
+    emb = _parallel(_emb(spark, sf_dir), "vec_id")
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
@@ -1161,8 +1262,7 @@ def q_t_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     staged = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
+        _parallel(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
         .withColumn("_w", TS.words_array("text"))
         .withColumn("_sr", TS.stopword_ratio_from("_w"))
         .withColumn("_pr", TS.punct_ratio("text"))

@@ -21,6 +21,7 @@ field-for-field — property-tested in ``tests/test_clp_pandas.py``.
 from __future__ import annotations
 
 import functools as _functools
+import itertools as _itertools
 import re
 
 import pandas as pd
@@ -47,6 +48,12 @@ from fluent_bit_clp_spark.functions.clp_native import (
 )
 
 _VAR = re.compile(VAR_TOKEN_RE)
+# Split-with-capture twin of _VAR: one C-level pass yields BOTH the
+# literal pieces (even indices) and the variable tokens (odd indices),
+# replacing the sub+findall double scan (VAR_TOKEN_RE contains no groups,
+# so the added capture group is exactly the whole match).  Same
+# leftmost-longest semantics as sub/findall — token boundaries identical.
+_VAR_SPLIT = re.compile("(" + VAR_TOKEN_RE + ")")
 _INT = re.compile(INT_RE)
 _FLOAT = re.compile(FLOAT_RE)
 
@@ -191,12 +198,40 @@ def _unpack_float4(p: int) -> str:
     return f"{sign}{s[:ilen]}.{s[ilen:]}"
 
 
+def _int_shape(tok: str) -> bool:
+    """Exact equivalent of ``INT_RE`` (^(0|-?[1-9][0-9]{0,17})$) in string
+    ops — ~5× cheaper than a compiled-regex match for the letter-bearing
+    dictionary tokens that dominate real corpora (``s.isdigit()`` rejects
+    them in one C scan).  Tokens are guaranteed non-empty ASCII (the
+    VAR_TOKEN_RE char class), so ``isdigit`` has no unicode pitfalls.
+    Equivalence with the regex is property-tested in tests/test_clp_core."""
+    s = tok[1:] if tok[0] == "-" else tok
+    if not s.isdigit():
+        return False
+    if s[0] == "0":
+        return tok == "0"  # "-0" / leading zeros do not round-trip
+    return len(s) <= 18
+
+
+def _float_shape(tok: str) -> bool:
+    """Exact equivalent of ``FLOAT_RE`` (^-?(0|[1-9][0-9]*)[.][0-9]+$)."""
+    s = tok[1:] if tok[0] == "-" else tok
+    dot = s.find(".")
+    if dot < 1:
+        return False
+    a = s[:dot]
+    b = s[dot + 1:]
+    if not b.isdigit() or not a.isdigit():  # b="" or a second "." fail here
+        return False
+    return a == "0" or a[0] != "0"
+
+
 def _classify_tok(tok: str, fourbyte: bool) -> int:
     """The single kind-decision function — shared by the full encoder and
     the classify-only path so the two can never diverge."""
-    if _INT.match(tok) and (not fourbyte or INT32_MIN <= int(tok) <= INT32_MAX):
+    if _int_shape(tok) and (not fourbyte or INT32_MIN <= int(tok) <= INT32_MAX):
         return KIND_INT
-    if _FLOAT.match(tok) and _float_ok(tok, fourbyte):
+    if _float_shape(tok) and _float_ok(tok, fourbyte):
         return KIND_FLOAT
     return KIND_DICT
 
@@ -244,6 +279,81 @@ def _classify_one(text: str | None, mode: str = MODE_I64):
     return [_classify_tok(m.group(0), fourbyte) for m in _VAR.finditer(esc)]
 
 
+def _kinds_batch(texts: pd.Series, mode: str = MODE_I64) -> pd.Series:
+    """Batch twin of :func:`_classify_one` (equivalence pinned in
+    tests/test_clp_core.py): one split pass per row + one flat cached
+    classify comprehension instead of an uncached finditer/classify per
+    occurrence."""
+    fourbyte = mode == MODE_4BYTE
+    _, toks_rows, n = _split_rows(texts)
+    infos = _flat_infos(toks_rows, fourbyte)
+    kinds_flat = [i[0] for i in infos]
+    out: list = [None] * n
+    o = 0
+    for j, tk in enumerate(toks_rows):
+        if tk is None:
+            continue
+        e = o + len(tk)
+        out[j] = kinds_flat[o:e]
+        o = e
+    return pd.Series(out, dtype="object")
+
+
+def _kinds_encoded_batch(texts: pd.Series, mode: str = MODE_I64) -> pd.DataFrame:
+    """(var_kinds, encoded_vars) only — skips logtype assembly, dict-var
+    collection and all xxh64 ids (guide §4: return only the columns the
+    consumer reads; the arrays of ids/strings were the bulk of the Arrow
+    return traffic for kind-histogram consumers)."""
+    fourbyte = mode == MODE_4BYTE
+    _, toks_rows, n = _split_rows(texts)
+    infos = _flat_infos(toks_rows, fourbyte)
+    kinds_flat = [i[0] for i in infos]
+    encs_flat = [i[1] for i in infos]
+    kinds_col: list = [None] * n
+    encs_col: list = [None] * n
+    o = 0
+    for j, tk in enumerate(toks_rows):
+        if tk is None:
+            continue
+        e = o + len(tk)
+        kinds_col[j] = kinds_flat[o:e]
+        encs_col[j] = encs_flat[o:e]
+        o = e
+    return pd.DataFrame(
+        {
+            "var_kinds": pd.Series(kinds_col, dtype="object"),
+            "encoded_vars": pd.Series(encs_col, dtype="object"),
+        }
+    )
+
+
+def _logtype_nvars_batch(texts: pd.Series) -> pd.DataFrame:
+    """(logtype, n_vars) only — the cheapest useful view of the token
+    grammar: one split pass, no classification, no packing, no hashing.
+    ``n_vars`` equals ``size(var_kinds)`` of the full encode by
+    construction (tokens are the odd split indices)."""
+    split = _VAR_SPLIT.split
+    join = PLACEHOLDER.join
+    lts: list = []
+    ns: list = []
+    for t in texts:
+        if t is None:
+            lts.append(None)
+            ns.append(None)
+            continue
+        parts = split(
+            t.replace(ESCAPE, ESCAPE + "e").replace(PLACEHOLDER, ESCAPE + "p")
+        )
+        lts.append(join(parts[0::2]))
+        ns.append(len(parts) // 2)
+    return pd.DataFrame(
+        {
+            "logtype": pd.Series(lts, dtype="object"),
+            "n_vars": pd.array(ns, dtype="Int64"),
+        }
+    )
+
+
 def _float_ok(tok: str, fourbyte: bool) -> bool:
     digits = tok.replace("-", "").replace(".", "")
     if fourbyte:
@@ -254,12 +364,20 @@ def _float_ok(tok: str, fourbyte: bool) -> bool:
     return len(digits) <= FLOAT_MAX_DIGITS
 
 
-@_functools.lru_cache(maxsize=65536)
-def _tok_cached(tok: str, fourbyte: bool):
-    """(kind, encoded, dict_tok) for one token — classify + pack once per
-    UNIQUE token instead of once per occurrence (tokens repeat heavily:
-    enum-ish values, repeated sizes/ports).  Worst case 65536 × ≤256-char
-    keys ≈ ≤16 MiB per worker; longer tokens classify uncached."""
+# Plain-dict token caches, one per mode: an lru_cache HIT costs ~1 µs of
+# C-wrapper/key-tuple overhead per call; a dict .get() is ~20× cheaper
+# (the same round-6 finding that moved the id cache off lru_cache).
+# Bounded: ≤ 65536 entries of ≤256-char keys ≈ ≤16 MiB per worker per
+# mode; no eviction — a full cache simply stops admitting (token
+# vocabularies are log templates' variable values, far under the cap in
+# practice; longer/overflow tokens classify uncached per occurrence).
+_TOK_CACHE: tuple[dict, dict] = ({}, {})
+_TOK_CACHE_MAX_ENTRIES = 65536
+
+
+def _tok_compute(tok: str, fourbyte: bool):
+    """(kind, encoded, dict_tok) for one token — the single classify+pack
+    decision shared by every batch path."""
     k = _classify_tok(tok, fourbyte)
     if k == KIND_INT:
         return KIND_INT, int(tok), None
@@ -268,15 +386,21 @@ def _tok_cached(tok: str, fourbyte: bool):
     return KIND_DICT, None, tok
 
 
+def _tok_cache_miss(tok: str, fourbyte: bool, cache: dict):
+    info = _tok_compute(tok, fourbyte)
+    if len(tok) <= 256 and len(cache) < _TOK_CACHE_MAX_ENTRIES:
+        cache[tok] = info
+    return info
+
+
 def _tok_info(tok: str, fourbyte: bool):
-    if len(tok) <= 256:
-        return _tok_cached(tok, fourbyte)
-    k = _classify_tok(tok, fourbyte)
-    if k == KIND_INT:
-        return k, int(tok), None
-    if k == KIND_FLOAT:
-        return k, _pack_float4(tok) if fourbyte else _pack_float(tok), None
-    return k, None, tok
+    """Per-token entry point kept for the scalar paths (_encode_one twin
+    tests); batch paths inline the cache lookup instead."""
+    cache = _TOK_CACHE[1 if fourbyte else 0]
+    info = cache.get(tok)
+    if info is not None:
+        return info
+    return _tok_cache_miss(tok, fourbyte, cache)
 
 
 # Plain-dict id cache for the batch encoder: an lru_cache HIT costs ~1.5 µs
@@ -290,6 +414,10 @@ def _tok_info(tok: str, fourbyte: bool):
 _ID_CACHE: dict[str, int] = {}
 _ID_CACHE_BYTES = [0]
 _ID_CACHE_BYTE_BUDGET = 64 << 20
+# Entry cap alongside the byte budget (ADVICE r6: the byte budget counts
+# only key characters, so millions of tiny keys could pin ~100 B/entry of
+# dict overhead — multiple GiB — while staying under the byte budget).
+_ID_CACHE_MAX_ENTRIES = 1_000_000
 
 
 def _batch_ids(strs: list[str]) -> dict[str, int]:
@@ -305,7 +433,10 @@ def _batch_ids(strs: list[str]) -> dict[str, int]:
     used = _ID_CACHE_BYTES
     for s, h in zip(missing, xxh64_batch_strs(missing)):
         h = int(h)
-        if used[0] + len(s) <= _ID_CACHE_BYTE_BUDGET:
+        if (
+            used[0] + len(s) <= _ID_CACHE_BYTE_BUDGET
+            and len(_ID_CACHE) < _ID_CACHE_MAX_ENTRIES
+        ):
             _ID_CACHE[s] = h
             used[0] += len(s)
         else:
@@ -313,68 +444,99 @@ def _batch_ids(strs: list[str]) -> dict[str, int]:
     return overflow
 
 
+def _split_rows(texts) -> tuple[list, list, int]:
+    """Shared tokenize pass: per row, escape + ONE split-with-capture →
+    (logtype list, per-row token lists — None rows keep None in both)."""
+    split = _VAR_SPLIT.split
+    join = PLACEHOLDER.join
+    n = len(texts)
+    lt_col: list = [None] * n
+    toks_rows: list = [None] * n
+    for j, t in enumerate(texts):
+        if t is None:
+            continue
+        parts = split(
+            t.replace(ESCAPE, ESCAPE + "e").replace(PLACEHOLDER, ESCAPE + "p")
+        )
+        lt_col[j] = join(parts[0::2])
+        toks_rows[j] = parts[1::2]
+    return lt_col, toks_rows, n
+
+
+def _flat_infos(toks_rows: list, fourbyte: bool) -> list:
+    """Classify every token of the batch in ONE comprehension over the
+    flattened token stream (per-row comprehensions paid an interpreter
+    frame per row; C-level iteration over the flat stream does not)."""
+    cache = _TOK_CACHE[1 if fourbyte else 0]
+    cache_get = cache.get
+    miss = _tok_cache_miss
+    flat = list(
+        _itertools.chain.from_iterable(
+            tk for tk in toks_rows if tk is not None
+        )
+    )
+    return [cache_get(tok) or miss(tok, fourbyte, cache) for tok in flat]
+
+
 def _encode_batch(texts: pd.Series, mode: str = MODE_I64) -> pd.DataFrame:
     """Batch twin of :func:`_encode_one` (equivalence pinned in
-    tests/test_clp_core.py): two C-level regex passes per row (sub for the
-    logtype, findall for the tokens) replace the Python splice loop,
-    per-unique-token classify/pack via ``_tok_cached``, and all dict/
-    logtype ids resolved through ``_ID_CACHE`` + one vectorized xxh64
-    pass over the batch's unique misses."""
+    tests/test_clp_core.py).  r7 shape: ONE C-level split-with-capture
+    pass per row yields literals and tokens together (replacing the r6
+    sub+findall double scan); classification runs as a single
+    comprehension over the batch's flattened token stream through the
+    plain-dict ``_TOK_CACHE``; per-row arrays are O(1) slices of the flat
+    kind/enc/dict/id streams; all dict/logtype ids resolve through
+    ``_ID_CACHE`` + one vectorized xxh64 pass over the batch's unique
+    misses."""
     fourbyte = mode == MODE_4BYTE
-    sub, findall = _VAR.sub, _VAR.findall
-    tok_info = _tok_info
-    parsed = []
-    need_ids: list[str] = []
-    for t in texts:
-        if t is None:
-            parsed.append(None)
-            continue
-        esc = t.replace(ESCAPE, ESCAPE + "e").replace(PLACEHOLDER, ESCAPE + "p")
-        lt = sub(PLACEHOLDER, esc)
-        kinds: list[int] = []
-        encs: list[int | None] = []
-        dicts: list[str | None] = []
-        ka, ea, da = kinds.append, encs.append, dicts.append
-        for tok in findall(esc):
-            k, e, d = tok_info(tok, fourbyte)
-            ka(k)
-            ea(e)
-            if d is not None:
-                need_ids.append(d)
-            da(d)
-        parsed.append((lt, kinds, encs, dicts))
-        need_ids.append(lt)
+    lt_col, toks_rows, n = _split_rows(texts)
+    infos = _flat_infos(toks_rows, fourbyte)
+    kinds_flat = [i[0] for i in infos]
+    encs_flat = [i[1] for i in infos]
+    dicts_flat = [i[2] for i in infos]
+    need_ids = [d for d in dicts_flat if d is not None]
+    need_ids.extend(lt for lt in lt_col if lt is not None)
     overflow = _batch_ids(need_ids)
     get_id = _ID_CACHE.get
-    rows = []
-    for p in parsed:
-        if p is None:
-            rows.append((None, None, None, None, None, None))
+    if overflow:
+        def rid(s, _g=get_id, _o=overflow):
+            v = _g(s)
+            return v if v is not None else _o[s]
+    else:
+        rid = get_id  # every need_ids string was admitted to the cache
+    ids_flat = [None if d is None else rid(d) for d in dicts_flat]
+    kinds_col: list = [None] * n
+    encs_col: list = [None] * n
+    dicts_col: list = [None] * n
+    ids_col: list = [None] * n
+    ltid_col: list = [None] * n
+    o = 0
+    for j, tk in enumerate(toks_rows):
+        if tk is None:
             continue
-        lt, kinds, encs, dicts = p
-        ids = [
-            None if d is None else (
-                v if (v := get_id(d)) is not None else overflow[d]
-            )
-            for d in dicts
-        ]
-        lt_id = v if (v := get_id(lt)) is not None else overflow[lt]
-        rows.append((lt, kinds, encs, dicts, ids, lt_id))
-    out = pd.DataFrame(
-        rows,
-        columns=["logtype", "var_kinds", "encoded_vars", "dict_vars",
-                 "dict_var_ids", "logtype_id"],
-    )
+        e = o + len(tk)
+        kinds_col[j] = kinds_flat[o:e]
+        encs_col[j] = encs_flat[o:e]
+        dicts_col[j] = dicts_flat[o:e]
+        ids_col[j] = ids_flat[o:e]
+        ltid_col[j] = rid(lt_col[j])
+        o = e
     # logtype_id is the one SCALAR int column: pandas coerces int+None
     # rows to float64, silently rounding |id| > 2^53 for EVERY row in any
     # batch that contains a null text (and making the stored id depend on
     # batch composition — breaking the hash-stability contract).  The
     # array columns are object-dtype lists and convert exactly; pin the
     # scalar to nullable Int64 so Arrow gets exact 64-bit values.
-    out["logtype_id"] = pd.array(
-        [r[5] for r in rows], dtype="Int64"
+    return pd.DataFrame(
+        {
+            "logtype": pd.Series(lt_col, dtype="object"),
+            "var_kinds": pd.Series(kinds_col, dtype="object"),
+            "encoded_vars": pd.Series(encs_col, dtype="object"),
+            "dict_vars": pd.Series(dicts_col, dtype="object"),
+            "dict_var_ids": pd.Series(ids_col, dtype="object"),
+            "logtype_id": pd.array(ltid_col, dtype="Int64"),
+        }
     )
-    return out
 
 
 def clp_encode_udf(mode: str = MODE_I64):
@@ -385,11 +547,27 @@ def clp_encode_udf(mode: str = MODE_I64):
 
 def clp_var_kinds_udf(mode: str = MODE_I64):
     """Classify-only UDF: array<int> of var kinds per row, via the exact
-    production token grammar + kind decision (shared ``_classify_tok``)."""
+    production token grammar + kind decision (shared ``_classify_tok``,
+    batch path ``_kinds_batch`` — r7: cached per-unique-token classify
+    instead of an uncached finditer per occurrence)."""
+    return pandas_udf(lambda s: _kinds_batch(s, mode), "array<int>")
+
+
+def clp_kinds_encoded_udf(mode: str = MODE_I64):
+    """(var_kinds, encoded_vars)-only UDF — for consumers that never read
+    the logtype/dict columns (guide §4: ship only what the consumer
+    needs across the Arrow boundary)."""
     return pandas_udf(
-        lambda s: pd.Series([_classify_one(t, mode) for t in s], dtype="object"),
-        "array<int>",
+        lambda s: _kinds_encoded_batch(s, mode),
+        "var_kinds array<int>, encoded_vars array<bigint>",
     )
+
+
+def clp_logtype_nvars_udf():
+    """(logtype, n_vars)-only UDF — the template-extraction view: no
+    classification, no packing, no ids; ``n_vars`` ==
+    ``size(var_kinds)`` of the full encode by construction."""
+    return pandas_udf(_logtype_nvars_batch, "logtype string, n_vars bigint")
 
 
 def _decode_one(logtype, kinds, encoded, dicts, mode: str = MODE_I64) -> str | None:

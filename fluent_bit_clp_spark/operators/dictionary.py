@@ -42,8 +42,16 @@ def dense_ids(
 
     No global window: per-zone ranks are bounded (~N/zones per task; raise
     ``zones`` for bigger dictionaries), zone offsets broadcast.
+
+    r7: the distinct key set feeds BOTH the zone-counts branch and the
+    rank branch — left lazy, Catalyst duplicates the whole upstream
+    subtree and the (possibly huge) input is scanned twice (measured: the
+    e1_logtype_dense_dist plan carried two full fact scans).  The set is
+    dictionary-sized by contract, so a lazy ``localCheckpoint`` shares
+    ONE computation between the branches (guide §3.3/§5: materialize the
+    intermediate to truncate a diamond plan).
     """
-    d = keys.select(key_col).distinct()
+    d = keys.select(key_col).distinct().localCheckpoint(eager=False)
     d = d.withColumn("_zone", F.pmod(portable_hash64(F.col(key_col)), F.lit(zones)))
     counts = d.groupBy("_zone").agg(F.count("*").alias("_n"))
     w_zone = (
@@ -115,6 +123,7 @@ def template_profile(
     encoded: DataFrame,
     ts_col: str | None = None,
     example: bool = False,
+    mode: str = "i64",
 ) -> DataFrame:
     """Per-template corpus profile — the "what is in my logs" summary a
     CLP store answers without touching message text: for every logtype
@@ -128,13 +137,17 @@ def template_profile(
     template count (thousands), not the corpus.  Bytes come from
     ``octet_length(text)`` when the raw column is present, else from the
     decoded length expression — either way no row leaves the scan.
+
+    ``mode`` is the run's encoding mode (ADVICE r6, medium: decoding a
+    4byte-mode store with the default i64 unpack silently corrupted
+    total/avg bytes and the example line).
     """
     from fluent_bit_clp_spark.functions.clp_native import clp_decode_column
 
     text = (
         F.col("text")
         if "text" in encoded.columns
-        else clp_decode_column()
+        else clp_decode_column(mode=mode)
     )
     aggs = [
         F.count("*").alias("n_rows"),

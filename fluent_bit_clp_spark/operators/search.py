@@ -570,13 +570,24 @@ def search_count_by_time(
     rounding at ns-epoch magnitudes) with floor semantics for negative
     timestamps.  Scale: map-side-combinable count, one narrow exchange
     of (bucket, partial-count) rows — the decode-verify cost dominates,
-    and only candidate rows reach it."""
+    and only candidate rows reach it.
+
+    A multi-query result (``query_name`` column present) is counted PER
+    QUERY — ``(query_name, bucket_start_ms, n)`` (ADVICE r6: summing
+    across queries double-counted rows matching several queries and gave
+    the dashboard no per-panel series).
+    """
     if bucket_ms < 1:
         raise ValueError(f"bucket_ms must be >= 1, got {bucket_ms}")
     bucket = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(bucket_ms))).alias(
         "bucket_start_ms"
     )
-    return hits.groupBy(bucket).agg(F.count("*").alias("n"))
+    keys = (
+        [F.col("query_name"), bucket]
+        if "query_name" in hits.columns
+        else [bucket]
+    )
+    return hits.groupBy(*keys).agg(F.count("*").alias("n"))
 
 
 class StaleArchiveDictionaryError(ValueError):

@@ -35,7 +35,18 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Scan split size, env-overridable (r7).  Local default 16m: the
+        # testdata tables are single ~16-130 MB files whose row groups are
+        # ~20 MB, so 128m splits made whole-table single-task scans (31
+        # cores idle under every scan-heavy query).  16m splits them down
+        # to row-group granularity.  At cluster scale with many-file
+        # tables, set SPARK_GRAFT_MAX_PARTITION_BYTES=512m-1g instead
+        # (guide §6: large sequential scans want big splits to cut task
+        # scheduling overhead and map-task counts feeding shuffles).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

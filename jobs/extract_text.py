@@ -59,8 +59,16 @@ def extract(
 
     from fluent_bit_clp_spark.functions.clp_pandas import clp_decode_pandas
     from fluent_bit_clp_spark.operators.search import search_encoded
+    from fluent_bit_clp_spark.plans import lineage
     from fluent_bit_clp_spark.plans.pipeline import load_sinks
 
+    # ADVICE r6 (high): thread the run's committed encoding_mode through
+    # decode AND query pruning — defaulting to i64 on a 4byte-mode run
+    # silently corrupted extracted float variables and dropped true
+    # --query matches (search.py documents exactly that failure).
+    mode = lineage.read_data_marker(input_root, run_id).get(
+        "encoding_mode", "i64"
+    )
     df = load_sinks(spark, input_root, run_id)
     if sink is not None:
         known = [r[0] for r in df.select("sink").distinct().collect()]
@@ -73,9 +81,9 @@ def extract(
         lo, hi = time_range
         df = df.where(F.col("ts_ms").between(F.lit(lo), F.lit(hi)))
     if query is not None:
-        df = search_encoded(df, query, ignore_case=ignore_case)
+        df = search_encoded(df, query, mode=mode, ignore_case=ignore_case)
     total = df.count()
-    dec = clp_decode_pandas(df).select(
+    dec = clp_decode_pandas(df, mode=mode).select(
         "sink", "conv_id", "turn_idx", "decoded_text"
     )
     ok = dec.where(F.col("decoded_text").isNotNull())

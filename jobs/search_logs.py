@@ -69,13 +69,18 @@ def search(
         )
     if profile and not queries:
         # whole-run profile: the template summary of everything stored
+        # (marker mode threaded — ADVICE r6 medium: the profile decodes
+        # stored rows, so a 4byte-mode run needs the 4byte unpack)
+        marker_mode = lineage.read_data_marker(input_root, run_id).get(
+            "encoding_mode", "i64"
+        )
         tbl = load_sinks(spark, input_root, run_id)
         if sink is not None:
             tbl = tbl.where(F.col("sink") == sink)
         if time_range is not None:
             lo, hi = time_range
             tbl = tbl.where(F.col("ts_ms").between(F.lit(lo), F.lit(hi)))
-        out = template_profile(tbl, ts_col="ts_ms", example=True)
+        out = template_profile(tbl, ts_col="ts_ms", example=True, mode=marker_mode)
         out.write.mode("error").parquet(os.path.join(output_root, "profile"))
         return {
             "run_id": run_id,
@@ -139,7 +144,7 @@ def search(
             rows_in = hits.drop("query_name").dropDuplicates(
                 ["sink", "conv_id", "turn_idx"]
             )
-        out = template_profile(rows_in, ts_col="ts_ms", example=True)
+        out = template_profile(rows_in, ts_col="ts_ms", example=True, mode=mode)
         out.write.mode("error").parquet(os.path.join(output_root, "profile"))
         return {
             "run_id": run_id,

@@ -425,6 +425,18 @@ def test_search_count_by_time_buckets(spark):
     with pytest.raises(ValueError, match="bucket_ms"):
         search_count_by_time(df, bucket_ms=0)
 
+    # ADVICE r6: a multi-query result (query_name present) is counted per
+    # query — no cross-query summing/double counting
+    multi = spark.createDataFrame(
+        [("a", 0, 0, "q1"), ("a", 0, 0, "q2"), ("a", 1, 500, "q1")],
+        "conv_id string, turn_idx int, ts_ms bigint, query_name string",
+    )
+    per_q = {
+        (r.query_name, r.bucket_start_ms, r.n)
+        for r in search_count_by_time(multi, bucket_ms=1000).collect()
+    }
+    assert per_q == {("q1", 0, 2), ("q2", 0, 1)}
+
 
 def test_exact_text_pattern_strict_end_anchor(spark):
     r"""ADVICE r5: Java's ``$`` also matches before a final ``\n``, RE2's

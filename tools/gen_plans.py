@@ -321,9 +321,10 @@ searches cost one fact-table pass instead of N.
 
 What to look for: the fact table is probed by a `BroadcastHashJoin
 ... LeftSemi` against the hit spans (range condition riding the key
-equi-join) and a second broadcast marks `is_match` — no fact-side
-`Exchange hashpartitioning` anywhere; a selective query's context
-retrieval is one scan, zero shuffles.
+equi-join), and `is_match` is a per-row projection (decode + rlike
+expression — commit fe354e6 replaced the earlier second broadcast
+join) — no fact-side `Exchange hashpartitioning` anywhere; a selective
+query's context retrieval is one scan, zero shuffles.
 
 ```
 """)
