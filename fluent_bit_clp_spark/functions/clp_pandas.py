@@ -48,12 +48,23 @@ from fluent_bit_clp_spark.functions.clp_native import (
 )
 
 _VAR = re.compile(VAR_TOKEN_RE)
-# Split-with-capture twin of _VAR: one C-level pass yields BOTH the
-# literal pieces (even indices) and the variable tokens (odd indices),
-# replacing the sub+findall double scan (VAR_TOKEN_RE contains no groups,
-# so the added capture group is exactly the whole match).  Same
-# leftmost-longest semantics as sub/findall — token boundaries identical.
-_VAR_SPLIT = re.compile("(" + VAR_TOKEN_RE + ")")
+# Non-digit-leading equivalent of VAR_TOKEN_RE: matched spans are
+# IDENTICAL (both match precisely the maximal token-class runs containing
+# ≥1 digit — differential-tested in tests/test_clp_batch_light.py over
+# arbitrary text), but the deterministic prefix avoids the greedy-then-
+# backtrack hunt for the digit inside each class run.  VAR_TOKEN_RE
+# itself is unchanged everywhere it is shared with oracle SQL.
+VAR_TOKEN_FAST_RE = r"[A-Za-z_./+-]*[0-9][A-Za-z0-9_./+-]*"
+# Split-with-capture: one C-level pass yields BOTH the literal pieces
+# (even indices) and the variable tokens (odd indices), replacing the
+# sub+findall double scan (the pattern contains no groups, so the added
+# capture group is exactly the whole match).
+_VAR_SPLIT = re.compile("(" + VAR_TOKEN_FAST_RE + ")")
+# A line with no digit has no variable token AT ALL (every token must
+# contain one): a cheap C-level digit probe short-circuits the full
+# split for static lines — log corpora are full of them (half the
+# transcript generator's templates are pure-logtype sentences).
+_HAS_DIGIT = re.compile("[0-9]")
 _INT = re.compile(INT_RE)
 _FLOAT = re.compile(FLOAT_RE)
 
@@ -334,6 +345,7 @@ def _logtype_nvars_batch(texts: pd.Series) -> pd.DataFrame:
     construction (tokens are the odd split indices)."""
     split = _VAR_SPLIT.split
     join = PLACEHOLDER.join
+    has_digit = _HAS_DIGIT.search
     lts: list = []
     ns: list = []
     for t in texts:
@@ -341,9 +353,12 @@ def _logtype_nvars_batch(texts: pd.Series) -> pd.DataFrame:
             lts.append(None)
             ns.append(None)
             continue
-        parts = split(
-            t.replace(ESCAPE, ESCAPE + "e").replace(PLACEHOLDER, ESCAPE + "p")
-        )
+        esc = t.replace(ESCAPE, ESCAPE + "e").replace(PLACEHOLDER, ESCAPE + "p")
+        if has_digit(esc) is None:
+            lts.append(esc)
+            ns.append(0)
+            continue
+        parts = split(esc)
         lts.append(join(parts[0::2]))
         ns.append(len(parts) // 2)
     return pd.DataFrame(
@@ -444,20 +459,29 @@ def _batch_ids(strs: list[str]) -> dict[str, int]:
     return overflow
 
 
+_NO_TOKS: list = []
+
+
 def _split_rows(texts) -> tuple[list, list, int]:
     """Shared tokenize pass: per row, escape + ONE split-with-capture →
-    (logtype list, per-row token lists — None rows keep None in both)."""
+    (logtype list, per-row token lists — None rows keep None in both).
+    Digit-free rows (no possible variable token) skip the split via the
+    ``_HAS_DIGIT`` probe."""
     split = _VAR_SPLIT.split
     join = PLACEHOLDER.join
+    has_digit = _HAS_DIGIT.search
     n = len(texts)
     lt_col: list = [None] * n
     toks_rows: list = [None] * n
     for j, t in enumerate(texts):
         if t is None:
             continue
-        parts = split(
-            t.replace(ESCAPE, ESCAPE + "e").replace(PLACEHOLDER, ESCAPE + "p")
-        )
+        esc = t.replace(ESCAPE, ESCAPE + "e").replace(PLACEHOLDER, ESCAPE + "p")
+        if has_digit(esc) is None:
+            lt_col[j] = esc
+            toks_rows[j] = _NO_TOKS
+            continue
+        parts = split(esc)
         lt_col[j] = join(parts[0::2])
         toks_rows[j] = parts[1::2]
     return lt_col, toks_rows, n

@@ -35,17 +35,19 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        # Scan split size, env-overridable (r7).  Local default 16m: the
-        # testdata tables are single ~16-130 MB files whose row groups are
-        # ~20 MB, so 128m splits made whole-table single-task scans (31
-        # cores idle under every scan-heavy query).  16m splits them down
-        # to row-group granularity.  At cluster scale with many-file
-        # tables, set SPARK_GRAFT_MAX_PARTITION_BYTES=512m-1g instead
-        # (guide §6: large sequential scans want big splits to cut task
-        # scheduling overhead and map-task counts feeding shuffles).
+        # Scan split size, env-overridable (r7).  Measured both ways at
+        # sf1.0: 16m splits the multi-row-group testdata files to
+        # row-group granularity but DOUBLES the headline's narrow
+        # block-sums pass (8× more map tasks → each partial-agg map sees
+        # fewer rows per group, so the map-side combine collapses less
+        # and the shuffle grows — guide §2.3 "aggregate before you
+        # shuffle"), while the single-row-group tables can't split below
+        # one task anyway (queries fix that with an explicit adaptive
+        # repartition instead).  The 128m default keeps the bench
+        # comparable; raise to 512m-1g at cluster scale (guide §6).
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -61,6 +61,24 @@ def test_shape_classifiers_equal_regexes(tok):
     assert _float_shape(tok) == bool(_FLOAT_RX.match(tok)), tok
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+        max_size=200,
+    )
+)
+def test_fast_token_regex_equals_original(text):
+    """VAR_TOKEN_FAST_RE (backtracking-free) must produce the exact same
+    matched spans as VAR_TOKEN_RE on arbitrary text — both match the
+    maximal token-class runs containing at least one digit."""
+    from fluent_bit_clp_spark.functions.clp_pandas import VAR_TOKEN_FAST_RE
+
+    orig = [m.span() for m in re.finditer(VAR_TOKEN_RE, text)]
+    fast = [m.span() for m in re.finditer(VAR_TOKEN_FAST_RE, text)]
+    assert orig == fast, text
+
+
 @pytest.mark.parametrize("mode", [MODE_I64, MODE_4BYTE])
 @settings(max_examples=40, deadline=None)
 @given(texts=TEXTS)
