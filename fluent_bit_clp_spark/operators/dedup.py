@@ -226,15 +226,30 @@ def lsh_candidate_pairs(
         id_col,
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
     )
-    stacked = drop_oversized_buckets(stacked, "bucket", max_bucket_size)
-    left = stacked.alias("l")
-    right = stacked.alias("r")
+    # r7: ONE groupBy replaces the count+semi-join bucket cap AND the
+    # bucket self-join.  The self-join consumed `stacked` twice — left
+    # lazy, Catalyst duplicated the whole upstream (shingle UDF → minhash
+    # → banding) and ran the signature pipeline once PER SIDE (measured ≈
+    # one extra full sigs pass); the cap added a second shuffle of
+    # `stacked` on top.  Collecting each bucket's members (bounded by the
+    # cap, so collect_list stays ≤ max_bucket_size) and expanding the
+    # i<j combinations natively produces the identical pair set — (x, x)
+    # self-pairs are excluded by the strict `<` exactly as the join's
+    # condition did, and cross-bucket duplicates fall to the same
+    # distinct().  Net: 3 shuffles of stacked + a join → 1 shuffle.
+    by_bucket = stacked.groupBy("bucket").agg(
+        F.collect_list(id_col).alias("_ids")
+    )
+    pair_expr = (
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), y -> "
+        "struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+    )
     return (
-        left.join(right, "bucket")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        by_bucket.where(F.size("_ids") <= max_bucket_size)
+        .select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -247,7 +262,14 @@ def ngram_jaccard(
     n: int = 3,
 ) -> DataFrame:
     """Exact Jaccard over n-gram shingle sets for candidate pairs
-    (verification step after LSH banding)."""
+    (verification step after LSH banding).
+
+    r7 note: a candidates-only semi-join prefilter (shingle only docs
+    appearing in a pair) was measured SLOWER at bench scale — the three
+    extra stages (candidate distinct + semi-join + barrier) cost more
+    than shingling the whole 50k-doc corpus in parallel.  At 10^9-doc
+    scale the prefilter shape wins; revisit when candidate density is
+    the bottleneck rather than stage latency."""
     sh = with_shingles(df, text_col, n).select(
         F.col(id_col), F.array_distinct("shingles").alias("sh_set")
     )
@@ -389,6 +411,11 @@ def embedding_near_dups(
     )
     if max_bucket_size is not None:
         v = drop_oversized_buckets(v, "lsh_bucket", max_bucket_size)
+    # r7: the self-join consumes `v` twice — left lazy, the hyperplane
+    # bucketing (n_planes interpreted-HOF dot products per vector) and
+    # the bucket cap recompute once per side; persist the bucketed
+    # vector table instead (same reasoning as lsh_candidate_pairs).
+    v = v.localCheckpoint(eager=False)
     if multi_probe:
         probes = F.array(
             F.col("lsh_bucket"),
