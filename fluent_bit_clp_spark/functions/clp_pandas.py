@@ -65,8 +65,9 @@ _VAR_SPLIT = re.compile("(" + VAR_TOKEN_FAST_RE + ")")
 # split for static lines — log corpora are full of them (half the
 # transcript generator's templates are pure-logtype sentences).
 _HAS_DIGIT = re.compile("[0-9]")
-_INT = re.compile(INT_RE)
-_FLOAT = re.compile(FLOAT_RE)
+# INT_RE / FLOAT_RE stay imported for re-export (oracle SQL builders use
+# the constants); their compiled forms were replaced by the string-op
+# _int_shape/_float_shape twins below.
 
 _ENCODE_SCHEMA = (
     "logtype string, var_kinds array<int>, encoded_vars array<bigint>, "
