@@ -289,7 +289,10 @@ def q_p1_ts_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_p3_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: JSON record parse + field extraction."""
     return (
-        _events(spark, sf_dir)
+        _parallel(
+            _events(spark, sf_dir).select("event_id", "event_type", "props"),
+            "event_id",
+        )
         .withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
         .groupBy("event_type")
         .agg(
@@ -302,7 +305,9 @@ def q_p3_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_p4_single_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: single-key extraction with whole-record fallback
     (flush.go:149-176 getMessage semantics)."""
-    return _events(spark, sf_dir).select(
+    return _parallel(
+        _events(spark, sf_dir).select("event_id", "props"), "event_id"
+    ).select(
         "event_id",
         F.coalesce(F.get_json_object("props", "$.msg"), F.col("props")).alias(
             "message"
@@ -323,6 +328,9 @@ def q_p5_kv_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         F.col("props").alias("record_json"),
     )
+    # r7 note: a _parallel repartition here measured 5x SLOWER (19 s vs
+    # 3.7 s at sf1.0) - the KV-split's map/HOF expressions get re-placed
+    # around the exchange and re-evaluated; left on the single-task scan.
     out = split_kv_namespaces(parse_json_records(ev))
     return out.select(
         "event_id",
@@ -564,7 +572,11 @@ def q_e1_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _parallel(
         _events(spark, sf_dir).select(*_LINE_COLS), "event_id"
     ).select("event_id", _line_col().alias("text"))
-    enc = clp_encode_pandas(ev, "text")
+    # deterministic=False (guide §4.4): search filters on encode outputs,
+    # and the pushed-down filter otherwise drags the UDF below the
+    # _parallel exchange — the whole encode+decode-verify ran in the
+    # single scan task (measured 15.1 s vs 2.x s at sf1.0)
+    enc = clp_encode_pandas(ev, "text", deterministic=False)
     hits = search_encoded(enc, "user * error value *")
     return hits.select("event_id")
 
@@ -1199,7 +1211,7 @@ def q_t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the standard eval-set leakage pass, broadcast-probe shaped."""
     from fluent_bit_clp_spark.operators.curation import decontaminate
 
-    docs = _docs(spark, sf_dir)
+    docs = _parallel(_docs(spark, sf_dir), "doc_id")
     benchmark = docs.where(F.col("doc_id") < 5)
     hits = decontaminate(docs, benchmark, keep=False)
     return hits.select(

@@ -564,10 +564,19 @@ def _encode_batch(texts: pd.Series, mode: str = MODE_I64) -> pd.DataFrame:
     )
 
 
-def clp_encode_udf(mode: str = MODE_I64):
+def clp_encode_udf(mode: str = MODE_I64, deterministic: bool = True):
     """Built lazily — @pandas_udf parses its DDL schema against the active
-    SparkSession, so module-import-time construction would fail."""
-    return pandas_udf(lambda s: _encode_batch(s, mode), _ENCODE_SCHEMA)
+    SparkSession, so module-import-time construction would fail.
+
+    ``deterministic=False`` (guide §4.4): the encode IS a pure function,
+    but consumers that FILTER on its output (search's prune predicates /
+    decode-verify) want the optimizer barred from re-placing it — a
+    pushed-down filter drags the whole UDF below any repartition
+    exchange, serializing the encode into the scan task (measured on
+    e1_search: the entire encode+verify ran in ONE task).  Values are
+    identical either way."""
+    udf = pandas_udf(lambda s: _encode_batch(s, mode), _ENCODE_SCHEMA)
+    return udf if deterministic else udf.asNondeterministic()
 
 
 def clp_var_kinds_udf(mode: str = MODE_I64):
@@ -636,10 +645,17 @@ def clp_decode_udf(mode: str = MODE_I64):
 
 
 def clp_encode_pandas(
-    df: DataFrame, text_col: str = "text", mode: str = MODE_I64
+    df: DataFrame,
+    text_col: str = "text",
+    mode: str = MODE_I64,
+    deterministic: bool = True,
 ) -> DataFrame:
-    """Append encoding columns via the Arrow-batched pandas UDF path."""
-    out = df.withColumn("_enc", clp_encode_udf(mode)(F.col(text_col)))
+    """Append encoding columns via the Arrow-batched pandas UDF path.
+    ``deterministic=False``: see :func:`clp_encode_udf` — pass it when
+    the caller filters on encode outputs downstream of a repartition."""
+    out = df.withColumn(
+        "_enc", clp_encode_udf(mode, deterministic)(F.col(text_col))
+    )
     return out.select(
         "*",
         F.col("_enc.logtype").alias("logtype"),

@@ -156,6 +156,13 @@ def dup_components(
     artifact of the null-unsafe ``!=`` edge filter): the NULL side is
     dropped, the real endpoint still appears as its own canonical.
     """
+    # materialize the (possibly expensive) pair list ONCE — r7: nodes and
+    # edges each carried their own eager checkpoint of the full upstream
+    # (minhash → banding → Jaccard), executing the pair pipeline twice
+    # before the first round; both now derive from one materialization
+    pairs = pairs.select(
+        F.col(id_a).alias(id_a), F.col(id_b).alias(id_b)
+    ).localCheckpoint(eager=True)
     # every non-null node in the pair list (incl. self-pair-only and
     # null-partnered nodes — review fix r3: they have no real edge but
     # must still appear in the output as their own canonical, per the
@@ -175,9 +182,8 @@ def dup_components(
             & (F.col(id_a) != F.col(id_b))
         )
         .distinct()
-        # materialize once: the loop re-reads edges every round, and the
-        # upstream pairs plan (minhash → banding → Jaccard) must not
-        # re-execute per iteration
+        # materialize: the loop re-reads edges every round and must not
+        # re-shuffle the distinct per iteration
         .localCheckpoint(eager=True)
     )
 
