@@ -1273,8 +1273,15 @@ def q_t_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composite filter a real curation pipeline runs."""
     from pyspark.sql import Window
 
+    # localCheckpoint barrier (r7): the quality/lang gate's predicate is
+    # otherwise pushed below the _parallel exchange, re-evaluating the
+    # full regex-HOF quality pipeline inside the single scan task (the
+    # same re-placement e1_search hit with its UDF — guide §4.4 — but
+    # with native expressions there is no asNondeterministic lever, so
+    # the barrier is a lazy checkpoint of the raw 5 MB projection)
     staged = (
         _parallel(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+        .localCheckpoint(eager=False)
         .withColumn("_w", TS.words_array("text"))
         .withColumn("_sr", TS.stopword_ratio_from("_w"))
         .withColumn("_pr", TS.punct_ratio("text"))
